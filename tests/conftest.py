@@ -1,0 +1,18 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+The axon TPU plugin in this image forces jax_platforms="axon,cpu"
+programmatically (env vars are ignored), so we must override via
+jax.config.update after import — before any computation runs.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
