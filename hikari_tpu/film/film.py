@@ -1,0 +1,83 @@
+"""Film: progressive per-pixel radiance accumulation + aux buffers.
+
+Parity with /root/reference/src/film.jl. The reference accumulates with
+atomic adds into Pixel structs; here each wavefront lane owns exactly one
+pixel per sample pass (filter importance sampling puts the whole filter
+into the sample position), so accumulation is a pure elementwise add —
+no atomics, no scatter. Film state is a pytree; render steps return an
+updated film (donated under jit for in-place accumulation on TPU).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass
+
+
+@pytree_dataclass(static=("width", "height"))
+class Film:
+    width: int
+    height: int
+    rgb_sum: jnp.ndarray      # (H, W, 3) weighted linear RGB sum
+    weight_sum: jnp.ndarray   # (H, W) filter weight sum
+    # aux buffers for denoising (film.jl:410-483)
+    albedo: jnp.ndarray       # (H, W, 3)
+    normal: jnp.ndarray       # (H, W, 3)
+    depth: jnp.ndarray        # (H, W)
+    aux_weight: jnp.ndarray   # (H, W)
+    iteration: jnp.ndarray    # () int32 progressive sample counter
+
+
+def make_film(width: int, height: int) -> Film:
+    def z3():
+        # distinct buffers per field: donation under jit requires each
+        # donated argument to own its storage
+        return jnp.zeros((height, width, 3), jnp.float32)
+
+    def z1():
+        return jnp.zeros((height, width), jnp.float32)
+
+    return Film(
+        width=width, height=height,
+        rgb_sum=z3(), weight_sum=z1(),
+        albedo=z3(), normal=z3(), depth=z1(), aux_weight=z1(),
+        iteration=jnp.int32(0),
+    )
+
+
+def film_clear(film: Film) -> Film:
+    return make_film(film.width, film.height)
+
+
+def film_add_sample(film: Film, rgb: jnp.ndarray, weight: jnp.ndarray) -> Film:
+    """Accumulate one sample per pixel. rgb: (H, W, 3), weight: (H, W)."""
+    return film.replace(
+        rgb_sum=film.rgb_sum + rgb * weight[..., None],
+        weight_sum=film.weight_sum + weight,
+        iteration=film.iteration + 1,
+    )
+
+
+def film_add_aux(film: Film, albedo, normal, depth, weight) -> Film:
+    return film.replace(
+        albedo=film.albedo + albedo * weight[..., None],
+        normal=film.normal + normal * weight[..., None],
+        depth=film.depth + depth * weight,
+        aux_weight=film.aux_weight + weight,
+    )
+
+
+def framebuffer(film: Film) -> jnp.ndarray:
+    """Weighted-average linear RGB image (H, W, 3) (film.jl:355-387)."""
+    w = jnp.maximum(film.weight_sum, 1e-8)[..., None]
+    return film.rgb_sum / w
+
+
+def aux_buffers(film: Film):
+    w = jnp.maximum(film.aux_weight, 1e-8)
+    return (
+        film.albedo / w[..., None],
+        film.normal / w[..., None],
+        film.depth / w,
+    )

@@ -46,9 +46,12 @@ _PERMUTATIONS_4WAY = jnp.array(
 
 
 @functools.cache
-def sobol_matrices() -> jnp.ndarray:
-    """(1024, 52) uint32 generator matrices (Joe-Kuo via pbrt-v4)."""
-    return jnp.asarray(np.load(_DATA / "sobol_matrices_32.npy"))
+def sobol_matrices() -> np.ndarray:
+    """(1024, 52) uint32 generator matrices (Joe-Kuo via pbrt-v4).
+
+    Cached as numpy: caching a jnp array created inside a jit trace would
+    leak a tracer; numpy constants embed safely in any trace."""
+    return np.load(_DATA / "sobol_matrices_32.npy")
 
 
 @pytree_dataclass(static=("log2_spp", "n_base4_digits", "width"))

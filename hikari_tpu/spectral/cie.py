@@ -24,10 +24,11 @@ D65_PHOTOMETRIC = 10567.0
 
 
 @functools.cache
-def cie_tables() -> jnp.ndarray:
-    """(3, 471) float32 xbar/ybar/zbar at 1nm from 360 to 830."""
+def cie_tables() -> np.ndarray:
+    """(3, 471) float32 xbar/ybar/zbar at 1nm from 360 to 830.
+    Cached as numpy so first use inside a jit trace cannot leak a tracer."""
     z = np.load(_DATA / "cie_xyz.npz")
-    return jnp.asarray(np.stack([z["x"], z["y"], z["z"]]), jnp.float32)
+    return np.stack([z["x"], z["y"], z["z"]]).astype(np.float32)
 
 
 @functools.cache
@@ -39,11 +40,12 @@ def d65_table():
     z = np.load(_DATA / "illuminant_d65.npz")
     lam_grid = np.arange(360, 831, dtype=np.float64)
     raw = np.interp(lam_grid, z["lam"].astype(np.float64), z["val"].astype(np.float64))
-    return jnp.asarray(raw, jnp.float32)
+    return raw.astype(np.float32)
 
 
-def _sample_table(table: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+def _sample_table(table, lam: jnp.ndarray) -> jnp.ndarray:
     """Linear interp of a 1nm [360,830] table at wavelengths lam (...,)."""
+    table = jnp.asarray(table)  # tables may arrive as numpy constants
     x = jnp.clip(lam - CIE_LAMBDA_MIN, 0.0, N_CIE_SAMPLES - 1.001)
     i0 = jnp.floor(x).astype(jnp.int32)
     f = x - i0.astype(jnp.float32)
