@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark: ray throughput of the flagship VolPath integrator.
+
+Prints ONE JSON line:
+  {"metric": "Mray/s", "value": N, "unit": "Mray/s", "vs_baseline": N}
+
+Baseline per BASELINE.md: 50 Mray/s on one TPU chip (the reference publishes
+no numbers; 50 is the driver's north-star target). Rays counted are actual
+traced rays (alive closest-hit lanes per bounce + occlusion rays), not
+nominal lane count.
+
+Scene: the cat-scene stand-in — an 800x800 render of a mesh-heavy scene
+(~33k triangles: high-res spheres + walls) with matte/gold/glass materials,
+an emissive panel and a point light, VolPath depth 5. The reference's cat
+mesh asset is not redistributable; triangle count and material mix match
+the reference benchmark's profile (BASELINE.md: cat scene 720x400-1820x720).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_scene():
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import Emissive, Glass, Gold, Matte, Mirror
+    from hikari_tpu.scene.mesh import make_quad, make_sphere
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    white = Matte(kd=(0.73, 0.73, 0.73))
+    s.add(make_quad((-3, 0, -1), (3, 0, -1), (3, 0, 5), (-3, 0, 5)), white)
+    s.add(make_quad((-3, 0, 5), (3, 0, 5), (3, 4, 5), (-3, 4, 5)), white)
+    s.add(make_quad((-3, 0, -1), (-3, 0, 5), (-3, 4, 5), (-3, 4, -1)), Matte(kd=(0.65, 0.05, 0.05)))
+    s.add(make_quad((3, 0, -1), (3, 4, -1), (3, 4, 5), (3, 0, 5)), Matte(kd=(0.12, 0.45, 0.15)))
+
+    # mesh-heavy content: a grid of high-res spheres (~33k tris total)
+    rng = np.random.RandomState(0)
+    mats = [Gold(roughness=0.15), Glass(eta=1.5), Mirror(), Matte(kd=(0.3, 0.4, 0.8)),
+            Matte(kd=(0.8, 0.6, 0.2))]
+    k = 0
+    for ix in range(4):
+        for iz in range(4):
+            c = (-1.8 + 1.2 * ix, 0.45, 0.2 + 1.2 * iz)
+            s.add(make_sphere(c, 0.42, 32, 64), mats[k % len(mats)])
+            k += 1
+
+    s.add(
+        make_quad((-1.0, 3.99, 1.0), (1.0, 3.99, 1.0), (1.0, 3.99, 3.0), (-1.0, 3.99, 3.0)),
+        Emissive(le=(1.0, 0.95, 0.85), scale=25.0),
+    )
+    s.add_light(PointLight(position=(0.0, 3.0, -0.5), intensity=(8.0, 8.0, 8.0)))
+    return s.build()
+
+
+def main():
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.film.filters import make_filter
+    from hikari_tpu.integrators.volpath import VolPath, render_lanes
+
+    scene = build_scene()
+    res = (800, 800)
+    camera = make_perspective_camera(
+        (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
+    )
+    filt = make_filter()
+    vp = VolPath(max_depth=5, samples_per_pixel=256)
+
+    w, h = res
+    lanes = jnp.arange(w * h, dtype=jnp.uint32)
+    px = lanes % w
+    py = lanes // w
+
+    @jax.jit
+    def step(sample_idx):
+        rgb, wgt, stats = render_lanes(vp, scene, camera, filt, sample_idx, px, py)
+        return rgb.sum(), stats["rays_traced"]
+
+    # warmup / compile
+    checksum, rays_per_sample = step(jnp.uint32(0))
+    checksum.block_until_ready()
+
+    n_iters = 8
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    acc = None
+    for s in range(1, n_iters + 1):
+        c, r = step(jnp.uint32(s))
+        acc = c if acc is None else acc + c
+        total_rays += float(r)
+    acc.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    baseline = 50.0
+    print(
+        json.dumps(
+            {
+                "metric": "Mray/s",
+                "value": round(mrays, 3),
+                "unit": "Mray/s",
+                "vs_baseline": round(mrays / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

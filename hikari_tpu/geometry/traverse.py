@@ -59,10 +59,12 @@ def closest_hit(bvh: DeviceBVH, o, d, t_max) -> HitRecord:
     r = o.shape[0]
     inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
 
-    idx0 = jnp.zeros((r,), jnp.int32)
-    t0 = jnp.asarray(t_max, jnp.float32)
-    tri0 = jnp.full((r,), -1, jnp.int32)
-    z = jnp.zeros((r,), jnp.float32)
+    # carries derived from the ray inputs so that under shard_map the
+    # loop state carries the same varying-axes type as the data
+    z = o[..., 0] * 0.0
+    idx0 = z.astype(jnp.int32)
+    t0 = jnp.asarray(t_max, jnp.float32) + z
+    tri0 = idx0 - 1
 
     def cond(state):
         idx, _, _, _, _ = state
@@ -108,10 +110,10 @@ def any_hit(bvh: DeviceBVH, o, d, t_max) -> jnp.ndarray:
     n_nodes = bvh.lo.shape[0]
     r = o.shape[0]
     inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
-    t_max = jnp.asarray(t_max, jnp.float32)
+    t_max = jnp.asarray(t_max, jnp.float32) + o[..., 0] * 0.0
 
-    idx0 = jnp.zeros((r,), jnp.int32)
-    found0 = jnp.zeros((r,), bool)
+    idx0 = (o[..., 0] * 0.0).astype(jnp.int32)
+    found0 = idx0 < 0
 
     def cond(state):
         idx, found = state

@@ -1,20 +1,25 @@
-"""VolPath: spectral wavefront path tracer (flagship integrator).
+"""VolPath: spectral volumetric wavefront path tracer (flagship integrator).
 
 TPU re-architecture of the reference's VolPath
 (/root/reference/src/integrators/volpath/volpath.jl): the reference drives 8
 atomic GPU work queues through per-bounce kernels; here the whole wavefront
 is a dense SoA array of one path per pixel with masked lanes, advanced one
-bounce at a time inside a single jit — queue pushes become `where`-selects,
-atomic film adds become elementwise accumulation, and `with_index` material
-dispatch becomes dense per-type evaluation over lanes (only for the types
-present in the scene, a static property).
+bounce at a time by a lax.fori_loop inside a single jit — queue pushes
+become `where`-selects, atomic film adds become elementwise accumulation,
+and `with_index` material dispatch becomes dense per-type evaluation over
+lanes (only for the material types present in the scene, a static
+property).
 
-Feature parity this stage: hero-wavelength spectral transport, ZSobol
-per-bounce sampling (camera dims {1,3,4,6}, path dims 6+8*depth), filter
-importance sampling, NEE with MIS against area/env/delta lights, specular
-paths, Russian roulette with eta_scale compensation, firefly clamping,
-progressive accumulation. Volumetric transport (delta tracking) is layered
-on in media.py / this file's medium hooks.
+Transport parity with the reference:
+- hero-wavelength spectra with pbrt-v4 rescaled path probabilities
+  (beta, r_u, r_l — workitems.jl:38-52) so spectral MIS weights match;
+- volumetric transport via delta tracking with null scattering
+  (delta-tracking.jl) and HG phase scattering (medium-scatter.jl);
+- NEE with shadow-ray transmittance through medium interfaces
+  (ratio tracking, intersection.jl:302-563);
+- ZSobol per-bounce sampling (camera dims {1,3,4,6}, path dims 6+8*depth),
+  filter importance sampling, Russian roulette with eta_scale, firefly
+  clamping, progressive accumulation.
 """
 
 from __future__ import annotations
@@ -30,16 +35,18 @@ from ..core.ray import spawn_ray
 from ..core.vecmath import dot, face_forward, make_frame, normalize, to_local, to_world
 from ..film.film import Film, film_add_sample
 from ..film.filters import FilterSampler, filter_sample, make_filter
-from ..geometry.traverse import any_hit, closest_hit
+from ..geometry.traverse import closest_hit
 from ..geometry.triangle import interpolate, triangle_normal
 from ..lights import types as lt
 from ..materials import bsdf as mb
 from ..materials import types as mt
+from ..media import sample as ms
 from ..sampling import sobol as sb
-from ..sampling.distributions import power_heuristic
 from ..scene.scene import SceneData
 from ..spectral import spectrum as sp
 from ..spectral.cie import spectral_to_xyz, xyz_to_linear_srgb
+
+MAX_INTERFACE_CROSSINGS = 8  # shadow-ray boundary chain cap (reference: 10)
 
 
 @dataclass(frozen=True)
@@ -57,7 +64,9 @@ class VolPath:
 # --- material dispatch helpers ------------------------------------------------
 
 
-def _sample_bsdf_dispatch(scene: SceneData, mat_type, mat_idx, wo, lam, u2, uc, regularize):
+def _sample_bsdf_dispatch(
+    scene: SceneData, mat_type, mat_idx, wo, lam, u2, uc, regularize, tex=None
+):
     """Dense per-type BSDF sampling, selected by tag (multi-material-eval's
     :none mode; sorted batching is a later optimization)."""
     table = scene.rgb2spec
@@ -78,21 +87,23 @@ def _sample_bsdf_dispatch(scene: SceneData, mat_type, mat_idx, wo, lam, u2, uc, 
 
     present = scene.present_materials
     if mt.MATTE in present:
-        out = merge(out, mb.sample_matte(banks, mat_idx, table, wo, lam, u2, uc), mt.MATTE)
+        out = merge(out, mb.sample_matte(banks, mat_idx, table, wo, lam, u2, uc, tex), mt.MATTE)
     if mt.MIRROR in present:
-        out = merge(out, mb.sample_mirror(banks, mat_idx, table, wo, lam, u2, uc), mt.MIRROR)
+        out = merge(out, mb.sample_mirror(banks, mat_idx, table, wo, lam, u2, uc, tex), mt.MIRROR)
     if mt.GLASS in present:
-        out = merge(out, mb.sample_glass(banks, mat_idx, table, wo, lam, u2, uc), mt.GLASS)
+        out = merge(out, mb.sample_glass(banks, mat_idx, table, wo, lam, u2, uc, tex), mt.GLASS)
     if mt.CONDUCTOR in present:
         out = merge(
             out,
-            mb.sample_conductor(banks, mat_idx, table, wo, lam, u2, uc, regularize),
+            mb.sample_conductor(banks, mat_idx, table, wo, lam, u2, uc, regularize, tex),
             mt.CONDUCTOR,
         )
     return out
 
 
-def _eval_bsdf_dispatch(scene: SceneData, mat_type, mat_idx, wo, wi, lam, regularize):
+def _eval_bsdf_dispatch(
+    scene: SceneData, mat_type, mat_idx, wo, wi, lam, regularize, tex=None
+):
     """(f, pdf) for NEE MIS; zero for specular-only materials."""
     table = scene.rgb2spec
     banks = scene.materials
@@ -100,16 +111,109 @@ def _eval_bsdf_dispatch(scene: SceneData, mat_type, mat_idx, wo, wi, lam, regula
     pdf = jnp.zeros(mat_type.shape, jnp.float32)
     present = scene.present_materials
     if mt.MATTE in present:
-        fm, pm = mb.eval_matte(banks, mat_idx, table, wo, wi, lam)
+        fm, pm = mb.eval_matte(banks, mat_idx, table, wo, wi, lam, tex)
         m = mat_type == mt.MATTE
         f = jnp.where(m[..., None], fm, f)
         pdf = jnp.where(m, pm, pdf)
     if mt.CONDUCTOR in present:
-        fc, pc = mb.eval_conductor(banks, mat_idx, table, wo, wi, lam, regularize)
+        fc, pc = mb.eval_conductor(banks, mat_idx, table, wo, wi, lam, regularize, tex)
         m = mat_type == mt.CONDUCTOR
         f = jnp.where(m[..., None], fc, f)
         pdf = jnp.where(m, pc, pdf)
     return f, pdf
+
+
+def _surface_data(scene: SceneData, rec, o, d):
+    """Gather hit-point attributes. Returns dict of per-lane arrays."""
+    from ..textures.atlas import TexCtx
+
+    tri = jnp.maximum(rec.tri, 0)
+    p0 = scene.bvh.p0[tri]
+    p1 = scene.bvh.p1[tri]
+    p2 = scene.bvh.p2[tri]
+    p_hit = o + rec.t[..., None] * d
+    ng_raw = triangle_normal(p0, p1, p2)  # winding normal: points "outside"
+    ns = normalize(
+        interpolate(rec.b1, rec.b2, scene.n0[tri], scene.n1[tri], scene.n2[tri])
+    )
+    ns = jnp.where(jnp.sum(ns * ns, -1, keepdims=True) > 0.5, ns, ng_raw)
+    ng = face_forward(ng_raw, ns)
+    uv = interpolate(rec.b1, rec.b2, scene.uv0[tri], scene.uv1[tri], scene.uv2[tri])
+    vcol = interpolate(rec.b1, rec.b2, scene.c0[tri], scene.c1[tri], scene.c2[tri])
+    return dict(
+        tri=tri, p=p_hit, ng=ng, ng_raw=ng_raw, ns=ns,
+        mat_type=scene.mat_type[tri], mat_idx=scene.mat_idx[tri],
+        arealight=scene.arealight_idx[tri],
+        inside_med=scene.inside_medium[tri], outside_med=scene.outside_medium[tri],
+        tex=(scene.atlas, TexCtx(uv=uv, vcolor=vcol)),
+    )
+
+
+def _crossing_medium(sd, direction):
+    """Medium entered when crossing the surface along `direction`
+    (get_medium_index, materials/medium-interface.jl:96-105)."""
+    entering_inside = dot(direction, sd["ng_raw"]) < 0.0
+    return jnp.where(entering_inside, sd["inside_med"], sd["outside_med"])
+
+
+def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
+    """Shadow ray with transmittance: walk through up to
+    MAX_INTERFACE_CROSSINGS interface boundaries, ratio-tracking the medium
+    transmittance of each segment (trace_shadow_transmittance,
+    intersection.jl:302-563).
+
+    Returns (T_ray, r_l_mul, r_u_mul): (N,4) multipliers; T_ray=0 if blocked.
+    """
+    from ..geometry.traverse import any_hit
+
+    ones4 = 1.0 + jnp.zeros_like(lam)
+    if not scene.has_media and mt.INTERFACE not in scene.present_materials:
+        # fast path: plain occlusion test
+        occluded = any_hit(scene.bvh, o_sh, wi, t_max)
+        T_ray = jnp.where(occluded[..., None], 0.0, ones4)
+        return T_ray, ones4, ones4
+
+    T_ray = ones4
+    r_l_m = ones4
+    r_u_m = ones4
+    running = active
+    o_cur = o_sh
+    t_rem = t_max
+    med = medium_sh
+
+    for _ in range(MAX_INTERFACE_CROSSINGS):
+        rec = closest_hit(scene.bvh, o_cur, wi, t_rem)
+        seg_t = jnp.where(rec.hit, rec.t, t_rem)
+
+        if scene.has_media:
+            in_med = running & (med >= 0)
+            T_seg, rl_seg, ru_seg = ms.ratio_track_tr(
+                scene.media, scene.rgb2spec, med, o_cur, wi, seg_t, lam, in_med
+            )
+            T_ray = T_ray * T_seg
+            r_l_m = r_l_m * rl_seg
+            r_u_m = r_u_m * ru_seg
+
+        hit_something = running & rec.hit
+        tri = jnp.maximum(rec.tri, 0)
+        is_interface = scene.mat_type[tri] == mt.INTERFACE
+        blocked = hit_something & ~is_interface
+        T_ray = jnp.where(blocked[..., None], 0.0, T_ray)
+
+        crossing = hit_something & is_interface
+        # advance through the interface
+        p_hit = o_cur + rec.t[..., None] * wi
+        ng_raw = triangle_normal(scene.bvh.p0[tri], scene.bvh.p1[tri], scene.bvh.p2[tri])
+        entering_inside = jnp.sum(wi * ng_raw, -1) < 0.0
+        new_med = jnp.where(
+            entering_inside, scene.inside_medium[tri], scene.outside_medium[tri]
+        )
+        med = jnp.where(crossing, new_med, med)
+        o_cur = jnp.where(crossing[..., None], p_hit + 1e-4 * wi, o_cur)
+        t_rem = jnp.where(crossing, t_rem - rec.t - 1e-4, t_rem)
+        running = crossing & (t_rem > 0.0)
+
+    return T_ray, r_l_m, r_u_m
 
 
 # --- the per-sample render step ------------------------------------------------
@@ -133,6 +237,27 @@ def render_sample(
     lanes = jnp.arange(n, dtype=jnp.uint32)
     px = lanes % w
     py = lanes // w
+    rgb, filter_w, stats = render_lanes(vp, scene, camera, filt, sample_idx, px, py)
+    rgb_img = rgb.reshape(h, w, 3)
+    w_img = filter_w.reshape(h, w)
+    return film_add_sample(film, rgb_img, w_img)
+
+
+def render_lanes(
+    vp: VolPath,
+    scene: SceneData,
+    camera: PerspectiveCamera,
+    filt: FilterSampler,
+    sample_idx: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+):
+    """Trace one path for each lane (px, py). The lane set is arbitrary —
+    the whole frame on one chip, or a shard of rows under pjit/shard_map.
+
+    Returns (rgb (n, 3), filter_weight (n,), stats dict)."""
+    w, h = camera.resolution
+    n = px.shape[0]
     si = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32), (n,))
 
     zcfg = sb.make_zsobol(w, h, max(vp.samples_per_pixel, 1), seed=vp.seed)
@@ -142,152 +267,253 @@ def render_sample(
     offset, filter_w = filter_sample(filt, ps.jitter)
     p_film = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)], -1) + 0.5 + offset
     wl = sp.sample_wavelengths_visible(ps.wavelength_u)
-    cam_sample_time = ps.time
     o, d = camera.generate_rays(
-        CameraSample(
-            p_film=p_film, lens=ps.lens, time=cam_sample_time,
-            filter_weight=filter_w,
-        )
+        CameraSample(p_film=p_film, lens=ps.lens, time=ps.time, filter_weight=filter_w)
     )
 
-    # path state (VPRayWorkItem analog, workitems.jl:38-52)
-    beta = jnp.ones((n, 4), jnp.float32)
-    L = jnp.zeros((n, 4), jnp.float32)
-    alive = jnp.ones((n,), bool)
-    specular = jnp.ones((n,), bool)  # camera rays count as specular for MIS
-    prev_pdf = jnp.ones((n,), jnp.float32)
-    eta_scale = jnp.ones((n,), jnp.float32)
-    any_nonspec = jnp.zeros((n,), bool)
+    # path state (VPRayWorkItem analog, workitems.jl:38-52); every carry is
+    # derived from lane data so shard_map varying-axes types line up
+    zero = o[..., 0] * 0.0
+    rays_traced = jnp.sum(zero)
     lam = wl.lam
+    ones4 = 1.0 + jnp.zeros_like(lam)
+    beta = ones4
+    r_u = ones4
+    r_l = ones4
+    L = jnp.zeros_like(lam)
+    alive = zero == 0.0
+    specular = alive  # camera rays count as specular for MIS
+    eta_scale = 1.0 + zero
+    any_nonspec = zero != 0.0
+    medium_idx = zero.astype(jnp.int32) + scene.camera_medium
+    prev_p = o  # last real scattering vertex (for area-light pdf)
     n_lights = scene.n_lights
 
-    for depth in range(vp.max_depth):
-        t_max = jnp.full((n,), jnp.inf, jnp.float32)
+    def bounce(depth, carry):
+        (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
+         medium_idx, prev_p, rays_traced) = carry
+
+        t_max = jnp.full((n,), jnp.inf, jnp.float32) + zero
+        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         rec = closest_hit(scene.bvh, o, d, t_max)
-        hit = rec.hit & alive
+        t_hit = jnp.where(rec.hit, rec.t, t_max)
+
+        # --- volumetric segment: delta tracking up to the surface
+        if scene.has_media:
+            in_medium = alive & (medium_idx >= 0)
+            dt = ms.delta_track(
+                scene.media, scene.rgb2spec, medium_idx, o, d, t_hit, lam,
+                beta, r_u, r_l, in_medium,
+                max_depth_hit=jnp.broadcast_to(depth >= vp.max_depth - 1, (n,)),
+            )
+            L = L + dt.L_emit
+            beta, r_u, r_l = dt.beta, dt.r_u, dt.r_l
+            scattered = in_medium & (dt.status == ms.SCATTERED)
+            absorbed = in_medium & (dt.status == ms.ABSORBED)
+            alive = alive & ~absorbed
+            p_scatter = dt.p_scatter
+            g_scatter = dt.g
+        else:
+            scattered = zero != 0.0
+            p_scatter = o
+            g_scatter = zero
+
+        reach = alive & ~scattered  # lanes that reach the surface / escape
 
         # --- escaped rays: environment + ambient (intersection.jl:622-677)
-        escaped = alive & ~rec.hit
+        escaped = reach & ~rec.hit
         if scene.lights.has_env:
             le_env, pdf_env = lt.env_radiance(scene.lights, scene.rgb2spec, d, lam)
-            pmf = 1.0 / max(n_lights, 1)
-            w_mis = jnp.where(
-                specular, 1.0, power_heuristic(1.0, prev_pdf, 1.0, pdf_env * pmf)
+            # pmf of the env light under the power sampler (flat list tail)
+            pmf_env = scene.lights.pmf[scene.lights.n_flat - 1]
+            r_l_hat = r_l * (pdf_env * pmf_env)[..., None]
+            denom = jnp.where(
+                specular, jnp.mean(r_u, -1), jnp.mean(r_u + r_l_hat, -1)
             )
-            L = L + jnp.where(escaped[..., None], beta * le_env * w_mis[..., None], 0.0)
-        # ambient lights contribute unoccluded constant radiance
+            contrib = beta * le_env / jnp.maximum(denom[..., None], 1e-12)
+            L = L + jnp.where((escaped & (denom > 0.0))[..., None], contrib, 0.0)
         amb = scene.lights.ambient_l
         if int(amb.shape[0]) > 0:
             amb_rgb = jnp.sum(amb, axis=0)
             le_amb = lt._illum(scene.rgb2spec, amb_rgb, lam)
             has_amb = jnp.any(amb_rgb > 0.0)
-            L = L + jnp.where(
-                (escaped & has_amb)[..., None], beta * le_amb, 0.0
-            )
-        alive = alive & rec.hit
+            contrib = beta * le_amb / jnp.maximum(jnp.mean(r_u, -1)[..., None], 1e-12)
+            L = L + jnp.where((escaped & has_amb)[..., None], contrib, 0.0)
+        alive = alive & (rec.hit | scattered)
 
         # --- surface interaction (vp_process_surface_hits_kernel!)
-        tri = jnp.maximum(rec.tri, 0)
-        p0 = scene.bvh.p0[tri]
-        p1 = scene.bvh.p1[tri]
-        p2 = scene.bvh.p2[tri]
-        p_hit = o + rec.t[..., None] * d
-        ng = triangle_normal(p0, p1, p2)
-        ns = normalize(interpolate(rec.b1, rec.b2, scene.n0[tri], scene.n1[tri], scene.n2[tri]))
-        ns = jnp.where(jnp.sum(ns * ns, -1, keepdims=True) > 0.5, ns, ng)
-        ng = face_forward(ng, ns)
+        sd = _surface_data(scene, rec, o, d)
+        hit = reach & rec.hit
         wo = -d
-
-        mat_type = scene.mat_type[tri]
-        mat_idx = scene.mat_idx[tri]
+        is_interface = sd["mat_type"] == mt.INTERFACE
 
         # --- area-light emission with MIS (surface-eval.jl:147-237)
-        al_idx = scene.arealight_idx[tri]
-        is_emitter = hit & (al_idx >= 0)
         if mt.EMISSIVE in scene.present_materials:
-            cos_wo = dot(ng, wo)
+            is_emitter = hit & (sd["arealight"] >= 0)
+            cos_wo = dot(sd["ng"], wo)
             le = mb.emitted_radiance(
-                scene.materials, jnp.maximum(mat_idx, 0), scene.rgb2spec, lam, cos_wo
+                scene.materials, jnp.maximum(sd["mat_idx"], 0), scene.rgb2spec,
+                lam, cos_wo, sd["tex"],
             )
-            pmf = 1.0 / max(n_lights, 1)
+            pmf_area = scene.lights.pmf[
+                jnp.clip(
+                    scene.lights.area_flat_base + sd["arealight"], 0,
+                    scene.lights.pmf.shape[0] - 1,
+                )
+            ]
             pdf_light = lt.area_light_pdf(
-                scene.lights, jnp.maximum(al_idx, 0), o, p_hit, ng
-            ) * pmf
-            w_mis = jnp.where(
-                specular, 1.0, power_heuristic(1.0, prev_pdf, 1.0, pdf_light)
+                scene.lights, jnp.maximum(sd["arealight"], 0), prev_p, sd["p"], sd["ng"]
+            ) * pmf_area
+            r_l_hat = r_l * pdf_light[..., None]
+            denom = jnp.where(
+                specular, jnp.mean(r_u, -1), jnp.mean(r_u + r_l_hat, -1)
             )
-            L = L + jnp.where(is_emitter[..., None], beta * le * w_mis[..., None], 0.0)
+            contrib = beta * le / jnp.maximum(denom[..., None], 1e-12)
+            L = L + jnp.where((is_emitter & (denom > 0.0))[..., None], contrib, 0.0)
 
-        # --- NEE: sample one light (surface_direct_lighting_inner!)
+        # --- NEE from surfaces and medium-scatter points
+        # (surface_direct_lighting_inner! + medium_direct_lighting_inner!)
         if n_lights > 0:
+            nee_surface = hit & ~is_interface
+            nee_any = nee_surface | scattered
             ul = sb.path_sample_1d(zcfg, px, py, si, depth, 0)
-            ul2 = jnp.stack(
-                sb.path_sample_2d(zcfg, px, py, si, depth, 1), -1
-            )
-            li_flat = jnp.minimum((ul * n_lights).astype(jnp.int32), n_lights - 1)
+            ul2 = jnp.stack(sb.path_sample_2d(zcfg, px, py, si, depth, 1), -1)
+            li_flat, pmf_sel = lt.sample_light_index(scene.lights, ul)
             ltype = scene.lights.light_type[li_flat]
             lidx = scene.lights.light_idx[li_flat]
+            p_ref = jnp.where(scattered[..., None], p_scatter, sd["p"])
             ls = lt.sample_li(
-                scene.lights, scene.rgb2spec, ltype, lidx, p_hit, lam, ul2,
+                scene.lights, scene.rgb2spec, ltype, lidx, p_ref, lam, ul2,
                 scene.scene_radius,
             )
-            t, b, nrm = make_frame(ns)
+            # surface lanes: BSDF f_hat & pdf
+            t, b, nrm = make_frame(sd["ns"])
             wo_l = to_local(t, b, nrm, wo)
             wi_l = to_local(t, b, nrm, ls.wi)
             reg = any_nonspec if vp.regularize else None
-            f, pdf_b = _eval_bsdf_dispatch(scene, mat_type, mat_idx, wo_l, wi_l, lam, reg)
-            pmf = 1.0 / n_lights
-            pdf_l = ls.pdf * pmf
-            cos_i = jnp.abs(wi_l[..., 2])
-            contrib_ok = (
-                alive & ls.valid & (pdf_l > 0.0) & (cos_i > 0.0)
-                & jnp.any(f > 0.0, axis=-1)
+            f_s, pdf_s = _eval_bsdf_dispatch(
+                scene, sd["mat_type"], sd["mat_idx"], wo_l, wi_l, lam, reg, sd["tex"]
             )
-            # shadow ray (vp_trace_shadow_rays!; transmittance chain arrives
-            # with media support)
-            o_sh = spawn_ray(p_hit, ng, ls.wi)
-            occluded = any_hit(scene.bvh, o_sh, ls.wi, ls.t_max)
-            contrib_ok = contrib_ok & ~occluded
-            w_mis = jnp.where(
-                ls.is_delta, 1.0, power_heuristic(1.0, pdf_l, 1.0, pdf_b)
-            )
-            ld = beta * f * ls.li * (cos_i * w_mis / jnp.maximum(pdf_l, 1e-12))[..., None]
-            L = L + jnp.where(contrib_ok[..., None], ld, 0.0)
+            f_hat_s = f_s * jnp.abs(wi_l[..., 2])[..., None]
+            # medium lanes: phase function value (= its pdf)
+            ph = ms.hg_eval(g_scatter, wo, ls.wi)
+            f_hat = jnp.where(scattered[..., None], ph[..., None], f_hat_s)
+            pdf_b = jnp.where(scattered, ph, pdf_s)
 
-        # --- BSDF sampling & continuation (evaluate_material_inner!)
+            pdf_l = ls.pdf * pmf_sel
+            contrib_ok = (
+                nee_any & ls.valid & (pdf_l > 0.0) & jnp.any(f_hat > 0.0, -1)
+            )
+            o_sh = jnp.where(
+                scattered[..., None],
+                p_scatter,
+                spawn_ray(sd["p"], sd["ng"], ls.wi),
+            )
+            med_sh = jnp.where(scattered, medium_idx, _crossing_medium(sd, ls.wi))
+            rays_traced = rays_traced + jnp.sum(contrib_ok.astype(jnp.float32))
+            T_ray, rl_m, ru_m = _trace_shadow(
+                scene, o_sh, ls.wi, ls.t_max, med_sh, lam, contrib_ok
+            )
+            # pbrt SampleLd: r_l' = r_u*pdf_l*rl_m, r_u' = r_u*pdf_b*ru_m
+            r_l_sh = r_u * pdf_l[..., None] * rl_m
+            r_u_sh = r_u * pdf_b[..., None] * ru_m
+            denom = jnp.where(
+                ls.is_delta, jnp.mean(r_l_sh, -1), jnp.mean(r_l_sh + r_u_sh, -1)
+            )
+            ld = beta * f_hat * T_ray * ls.li / jnp.maximum(denom[..., None], 1e-12)
+            ok = contrib_ok & (denom > 0.0) & jnp.any(T_ray > 0.0, -1)
+            L = L + jnp.where(ok[..., None], ld, 0.0)
+
+        # --- continuation -----------------------------------------------------
         ub = jnp.stack(sb.path_sample_2d(zcfg, px, py, si, depth, 3), -1)
         uc = sb.path_sample_1d(zcfg, px, py, si, depth, 5)
-        t, b, nrm = make_frame(ns)
+
+        # surface BSDF sample (evaluate_material_inner!)
+        t, b, nrm = make_frame(sd["ns"])
         wo_l = to_local(t, b, nrm, wo)
         reg = any_nonspec if vp.regularize else None
-        bs = _sample_bsdf_dispatch(scene, mat_type, mat_idx, wo_l, lam, ub, uc, reg)
-        wi_w = to_world(t, b, nrm, bs.wi)
+        bs = _sample_bsdf_dispatch(
+            scene, sd["mat_type"], sd["mat_idx"], wo_l, lam, ub, uc, reg, sd["tex"]
+        )
+        wi_surf = to_world(t, b, nrm, bs.wi)
         cos_i = jnp.abs(bs.wi[..., 2])
         thr = bs.f * (cos_i / jnp.maximum(bs.pdf, 1e-12))[..., None]
-        alive = alive & bs.valid & (bs.pdf > 0.0) & jnp.any(thr > 0.0, axis=-1)
-        beta = jnp.where(alive[..., None], beta * thr, beta)
-        eta_scale = jnp.where(alive, eta_scale * bs.eta_scale, eta_scale)
-        specular = bs.specular
-        any_nonspec = any_nonspec | (alive & ~bs.specular)
-        prev_pdf = bs.pdf
-        o = spawn_ray(p_hit, ng, wi_w)
-        d = wi_w
 
-        # --- Russian roulette (russian_roulette_spectral)
-        if depth >= vp.russian_roulette_depth:
-            u_rr = sb.path_sample_1d(zcfg, px, py, si, depth, 6)
-            rr_beta = sp.max_component(beta) * eta_scale
-            q = jnp.clip(rr_beta, 0.0, 0.95)
-            survive = u_rr < q
-            beta = jnp.where(
-                (alive & survive)[..., None], beta / jnp.maximum(q, 1e-6)[..., None], beta
-            )
-            alive = alive & survive
+        # medium HG sample (vp_sample_medium_scatter!, medium-scatter.jl)
+        wi_med, pdf_med = ms.hg_sample(g_scatter, wo, ub)
+
+        surf_go = hit & ~is_interface & bs.valid & (bs.pdf > 0.0) & jnp.any(thr > 0.0, -1)
+        med_go = scattered & (pdf_med > 0.0)
+        iface_go = hit & is_interface
+
+        beta = jnp.where(surf_go[..., None], beta * thr, beta)
+        # r_l = r_u / pdf (pbrt volpath); phase: pdf cancels with f -> r_u/pdf
+        r_l_new_s = r_u / jnp.maximum(bs.pdf, 1e-12)[..., None]
+        r_l_new_m = r_u / jnp.maximum(pdf_med, 1e-12)[..., None]
+        r_l = jnp.where(
+            surf_go[..., None], r_l_new_s,
+            jnp.where(med_go[..., None], r_l_new_m, r_l),
+        )
+        eta_scale = jnp.where(surf_go, eta_scale * bs.eta_scale, eta_scale)
+        # interface crossings leave MIS state untouched; medium scatters are
+        # never specular
+        specular = jnp.where(surf_go, bs.specular, specular)
+        specular = jnp.where(med_go, False, specular)
+        any_nonspec = any_nonspec | (surf_go & ~bs.specular) | med_go
+
+        # medium transitions (get_medium_index on transmission)
+        new_med_surf = jnp.where(
+            bs.transmission, _crossing_medium(sd, wi_surf), medium_idx
+        )
+        new_med_iface = _crossing_medium(sd, d)
+        medium_idx = jnp.where(
+            surf_go, new_med_surf, jnp.where(iface_go, new_med_iface, medium_idx)
+        )
+
+        new_o = jnp.where(
+            surf_go[..., None], spawn_ray(sd["p"], sd["ng"], wi_surf),
+            jnp.where(
+                med_go[..., None], p_scatter,
+                jnp.where(iface_go[..., None], sd["p"] + 1e-4 * d, o),
+            ),
+        )
+        new_d = jnp.where(
+            surf_go[..., None], wi_surf,
+            jnp.where(med_go[..., None], wi_med, d),
+        )
+        prev_p = jnp.where((surf_go | med_go)[..., None], new_o, prev_p)
+        o = new_o
+        d = new_d
+        alive = alive & (surf_go | med_go | iface_go)
+
+        # --- Russian roulette (russian_roulette_spectral); q=1 below rr depth
+        u_rr = sb.path_sample_1d(zcfg, px, py, si, depth, 6)
+        rr_beta = sp.max_component(beta) * eta_scale / jnp.maximum(
+            jnp.mean(r_u, -1), 1e-12
+        )
+        q = jnp.where(
+            depth >= vp.russian_roulette_depth, jnp.clip(rr_beta, 0.0, 0.95), 1.0
+        )
+        survive = u_rr < q
+        beta = jnp.where(
+            (alive & survive & (q < 1.0))[..., None],
+            beta / jnp.maximum(q, 1e-6)[..., None],
+            beta,
+        )
+        alive = alive & survive
+
+        return (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
+                medium_idx, prev_p, rays_traced)
+
+    carry = (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
+             medium_idx, prev_p, rays_traced)
+    carry = jax.lax.fori_loop(0, vp.max_depth, bounce, carry)
+    L = carry[5]
+    rays_traced = carry[12]
 
     # --- film accumulation (vp_accumulate_to_rgb_kernel!, volpath.jl:326-375)
     xyz = spectral_to_xyz(L, lam, wl.pdf)
     rgb = xyz_to_linear_srgb(xyz)
-    # firefly clamp on max component
     mx = jnp.max(rgb, axis=-1)
     scale = jnp.where(
         mx > vp.max_component_value, vp.max_component_value / jnp.maximum(mx, 1e-12), 1.0
@@ -295,9 +521,7 @@ def render_sample(
     rgb = rgb * scale[..., None]
     rgb = jnp.nan_to_num(rgb, nan=0.0, posinf=0.0, neginf=0.0)
 
-    rgb_img = rgb.reshape(h, w, 3)
-    w_img = filter_w.reshape(h, w)
-    return film_add_sample(film, rgb_img, w_img)
+    return rgb, filter_w, {"rays_traced": rays_traced}
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))

@@ -119,7 +119,7 @@ def equal_area_sphere_to_square(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([(u + 1.0) * 0.5, (v + 1.0) * 0.5], -1)
 
 
-@pytree_dataclass(static=("has_env",))
+@pytree_dataclass(static=("has_env", "area_flat_base", "n_flat"))
 class LightBanks:
     # point
     point_pos: jnp.ndarray       # (Np, 3)
@@ -151,14 +151,27 @@ class LightBanks:
     # flattened list for the light sampler
     light_type: jnp.ndarray      # (NL,)
     light_idx: jnp.ndarray       # (NL,)
+    # power sampler (light-sampler.jl:230-278): per-flat-light pmf + Walker
+    # alias table; sampling is one gather + compare per lane
+    pmf: jnp.ndarray             # (NL,)
+    alias_q: jnp.ndarray         # (NL,)
+    alias_j: jnp.ndarray         # (NL,) int32
+    area_flat_base: int = 0      # flat index of the first area light
+    n_flat: int = 0              # true flat-light count (arrays are padded)
 
 
 def pack_lights(
     lights: list,
     area_tris: tuple | None = None,
+    scene_radius: float = 1.0,
+    sampler: str = "power",
 ) -> LightBanks:
     """area_tris: optional (p0, p1, p2, le, scale, two_sided) numpy arrays of
-    per-face emissive triangles collected at scene build."""
+    per-face emissive triangles collected at scene build.
+
+    sampler: 'power' builds a power-weighted alias table
+    (PowerLightSampler, light-sampler.jl:230-278); 'uniform' gives every
+    light equal probability (UniformLightSampler, :186)."""
     pp, pi = [], []
     sp, sd, si, sct, scf = [], [], [], [], []
     dd, dl = [], []
@@ -193,12 +206,16 @@ def pack_lights(
         a_le = np.zeros((0, 3), np.float32)
         a_two = np.zeros((0,), bool)
 
-    # flattened light list (area lights after the punctual ones)
+    # flattened light list (area lights after the punctual ones). Ambient
+    # lights are excluded: escaped rays add their radiance in full, so
+    # NEE-sampling them would double count.
     types, idxs = [], []
-    for t, n in ((POINT, len(pp)), (SPOT, len(sp)), (DISTANT, len(dd)),
-                 (AMBIENT, len(al)), (AREA, len(a_p0))):
+    for t, n in ((POINT, len(pp)), (SPOT, len(sp)), (DISTANT, len(dd))):
         types += [t] * n
         idxs += list(range(n))
+    area_flat_base = len(types)
+    types += [AREA] * len(a_p0)
+    idxs += list(range(len(a_p0)))
     if env is not None:
         types.append(ENV)
         idxs.append(0)
@@ -211,10 +228,12 @@ def pack_lights(
         arr = np.asarray(rows, dtype) if len(rows) else np.array([default], dtype)
         return jnp.asarray(arr)
 
+    env_mean_lum = 0.0
     if env is not None:
         img = np.asarray(env.image, np.float32)
         assert img.ndim == 3 and img.shape[2] == 3, "env image must be (H,W,3)"
         lum = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+        env_mean_lum = float(lum.mean())
         env_image = jnp.asarray(img)
         env_dist = make_distribution_2d(jnp.asarray(lum))
         env_scale = jnp.float32(env.scale)
@@ -226,6 +245,35 @@ def pack_lights(
     a_p0j = jnp.asarray(a_p0) if len(a_p0) else jnp.zeros((1, 3), jnp.float32)
     a_p1j = jnp.asarray(a_p1) if len(a_p1) else jnp.zeros((1, 3), jnp.float32).at[:, 0].set(1.0)
     a_p2j = jnp.asarray(a_p2) if len(a_p2) else jnp.zeros((1, 3), jnp.float32).at[:, 1].set(1.0)
+    a_area_np = np.asarray(triangle_area(a_p0j, a_p1j, a_p2j))
+
+    # power-weighted sampling distribution over the flat light list
+    from .sampler import build_alias_table, light_powers
+
+    flat_t = np.asarray(types, np.int32)
+    flat_i = np.asarray(idxs, np.int32)
+    if sampler == "power" and len(flat_t):
+        phi = light_powers(
+            flat_t, flat_i,
+            point_i=np.asarray(pi, np.float32).reshape(-1, 3) if pp else None,
+            spot_i=np.asarray(si, np.float32).reshape(-1, 3) if sp else None,
+            spot_cos_total=np.asarray(sct, np.float32) if sp else None,
+            spot_cos_falloff=np.asarray(scf, np.float32) if sp else None,
+            dist_l=np.asarray(dl, np.float32).reshape(-1, 3) if dd else None,
+            area_le=np.asarray(a_le, np.float32).reshape(-1, 3),
+            area_area=a_area_np,
+            area_two_sided=np.asarray(a_two, bool),
+            env_mean_lum=env_mean_lum,
+            env_scale=float(env.scale) if env is not None else 1.0,
+            scene_radius=scene_radius,
+        )
+    else:
+        phi = np.ones(max(len(flat_t), 0), np.float64)
+    pmf_np, q_np, j_np = build_alias_table(phi)
+    if len(pmf_np) == 0:  # keep shapes static with a dummy entry
+        pmf_np = np.ones(1, np.float32)
+        q_np = np.ones(1, np.float32)
+        j_np = np.zeros(1, np.int32)
 
     return LightBanks(
         point_pos=pad3(pp), point_i=pad3(pi),
@@ -242,7 +290,26 @@ def pack_lights(
         has_env=env is not None,
         light_type=jnp.asarray(types or [POINT], jnp.int32),
         light_idx=jnp.asarray(idxs or [0], jnp.int32),
+        pmf=jnp.asarray(pmf_np),
+        alias_q=jnp.asarray(q_np),
+        alias_j=jnp.asarray(j_np),
+        area_flat_base=area_flat_base,
+        n_flat=len(types),
     )
+
+
+def sample_light_index(banks: LightBanks, u: jnp.ndarray):
+    """Draw a flat light index ~ pmf via the alias table. Returns (idx, pmf).
+
+    One gather + one compare per lane (AliasTable sample,
+    light-sampler.jl:120-170); the fractional part of u*n is reused as the
+    alias coin, the standard one-uniform trick."""
+    n = banks.pmf.shape[0]
+    su = u * n
+    i = jnp.clip(su.astype(jnp.int32), 0, n - 1)
+    f = su - i.astype(jnp.float32)
+    idx = jnp.where(f < banks.alias_q[i], i, banks.alias_j[i])
+    return idx, banks.pmf[idx]
 
 
 @pytree_dataclass

@@ -26,9 +26,30 @@ from .microfacet import (
     effectively_smooth, regularize_alpha, tr_d, tr_g, tr_g1, tr_pdf,
     tr_sample_wm,
 )
+from ..textures.atlas import eval_rgb, eval_scalar
 from .types import MaterialBanks
 
 INV_PI = 1.0 / jnp.pi
+
+
+def _tex_rgb(banks_field, tex_field, idx, tex):
+    """Resolve a possibly-textured RGB field. tex = (atlas, ctx) or None."""
+    const = banks_field[idx]
+    if tex is None:
+        return const
+    atlas, ctx = tex
+    return eval_rgb(atlas, tex_field[idx], const, ctx)
+
+
+def _tex_alpha(base_alpha, tex_field, idx, tex):
+    """Textured roughness: texture value (remapped sqrt) replaces the
+    baked-in alpha where a texture is bound."""
+    if tex is None:
+        return base_alpha
+    atlas, ctx = tex
+    t = tex_field[idx]
+    r = eval_scalar(atlas, t, jnp.zeros_like(base_alpha), ctx)
+    return jnp.where(t >= 0, jnp.sqrt(jnp.clip(r, 0.0, 1.0)), base_alpha)
 
 
 @pytree_dataclass
@@ -92,8 +113,10 @@ def _oren_nayar_factor(sigma, wo, wi):
 
 def sample_matte(
     banks: MaterialBanks, idx, table: RGBToSpectrumTable, wo, lam, u2, uc,
+    tex=None,
 ) -> BSDFSample:
-    kd = rgb_albedo_eval(table, jnp.clip(banks.matte_kd[idx], 0.0, 1.0), lam)
+    kd_rgb = _tex_rgb(banks.matte_kd, banks.matte_kd_tex, idx, tex)
+    kd = rgb_albedo_eval(table, jnp.clip(kd_rgb, 0.0, 1.0), lam)
     sigma = banks.matte_sigma[idx]
     wi = cosine_sample_hemisphere(u2)
     wi = jnp.where(wo[..., 2:3] < 0.0, wi * jnp.array([1.0, 1.0, -1.0]), wi)
@@ -109,8 +132,9 @@ def sample_matte(
     )
 
 
-def eval_matte(banks, idx, table, wo, wi, lam):
-    kd = rgb_albedo_eval(table, jnp.clip(banks.matte_kd[idx], 0.0, 1.0), lam)
+def eval_matte(banks, idx, table, wo, wi, lam, tex=None):
+    kd_rgb = _tex_rgb(banks.matte_kd, banks.matte_kd_tex, idx, tex)
+    kd = rgb_albedo_eval(table, jnp.clip(kd_rgb, 0.0, 1.0), lam)
     sigma = banks.matte_sigma[idx]
     same = same_hemisphere(wo, wi)
     f = kd * INV_PI
@@ -123,8 +147,9 @@ def eval_matte(banks, idx, table, wo, wi, lam):
 # --- Mirror (spectral-eval.jl Mirror) ----------------------------------------
 
 
-def sample_mirror(banks, idx, table, wo, lam, u2, uc) -> BSDFSample:
-    kr = rgb_albedo_eval(table, jnp.clip(banks.mirror_kr[idx], 0.0, 1.0), lam)
+def sample_mirror(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
+    kr_rgb = _tex_rgb(banks.mirror_kr, banks.mirror_kr_tex, idx, tex)
+    kr = rgb_albedo_eval(table, jnp.clip(kr_rgb, 0.0, 1.0), lam)
     wi = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
     cos_i = jnp.maximum(abs_cos_theta(wi), 1e-6)
     f = kr / cos_i[..., None]
@@ -140,9 +165,13 @@ def sample_mirror(banks, idx, table, wo, lam, u2, uc) -> BSDFSample:
 # --- Glass: smooth dielectric (spectral-eval.jl Glass, pbrt DielectricBxDF) ---
 
 
-def sample_glass(banks, idx, table, wo, lam, u2, uc) -> BSDFSample:
-    kr = rgb_albedo_eval(table, jnp.clip(banks.glass_kr[idx], 0.0, 1.0), lam)
-    kt = rgb_albedo_eval(table, jnp.clip(banks.glass_kt[idx], 0.0, 1.0), lam)
+def sample_glass(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
+    kr = rgb_albedo_eval(
+        table, jnp.clip(_tex_rgb(banks.glass_kr, banks.glass_kr_tex, idx, tex), 0.0, 1.0), lam
+    )
+    kt = rgb_albedo_eval(
+        table, jnp.clip(_tex_rgb(banks.glass_kt, banks.glass_kt_tex, idx, tex), 0.0, 1.0), lam
+    )
     eta = banks.glass_eta[idx]
 
     cos_o = wo[..., 2]
@@ -179,9 +208,9 @@ def sample_glass(banks, idx, table, wo, lam, u2, uc) -> BSDFSample:
 # --- Conductor (spectral-eval.jl Conductor, pbrt ConductorBxDF) ---------------
 
 
-def _conductor_alpha(banks, idx, regularize):
-    ax = banks.cond_ax[idx]
-    ay = banks.cond_ay[idx]
+def _conductor_alpha(banks, idx, regularize, tex=None):
+    ax = _tex_alpha(banks.cond_ax[idx], banks.cond_rough_tex, idx, tex)
+    ay = _tex_alpha(banks.cond_ay[idx], banks.cond_rough_tex, idx, tex)
     if regularize is not None:
         ax = jnp.where(regularize, regularize_alpha(ax), ax)
         ay = jnp.where(regularize, regularize_alpha(ay), ay)
@@ -189,11 +218,11 @@ def _conductor_alpha(banks, idx, regularize):
 
 
 def sample_conductor(
-    banks, idx, table, wo, lam, u2, uc, regularize=None
+    banks, idx, table, wo, lam, u2, uc, regularize=None, tex=None
 ) -> BSDFSample:
     eta = _sample_dense_spectrum(banks.cond_eta, idx, lam)
     k = _sample_dense_spectrum(banks.cond_k, idx, lam)
-    ax, ay = _conductor_alpha(banks, idx, regularize)
+    ax, ay = _conductor_alpha(banks, idx, regularize, tex)
     smooth = effectively_smooth(ax, ay)
 
     # smooth: delta reflection
@@ -225,10 +254,10 @@ def sample_conductor(
     )
 
 
-def eval_conductor(banks, idx, table, wo, wi, lam, regularize=None):
+def eval_conductor(banks, idx, table, wo, wi, lam, regularize=None, tex=None):
     eta = _sample_dense_spectrum(banks.cond_eta, idx, lam)
     k = _sample_dense_spectrum(banks.cond_k, idx, lam)
-    ax, ay = _conductor_alpha(banks, idx, regularize)
+    ax, ay = _conductor_alpha(banks, idx, regularize, tex)
     smooth = effectively_smooth(ax, ay)
     same = same_hemisphere(wo, wi)
 
@@ -250,12 +279,13 @@ def eval_conductor(banks, idx, table, wo, wi, lam, regularize=None):
 # --- Emission (emissive.jl, used via get_emission_spectral) -------------------
 
 
-def emitted_radiance(banks, idx, table, lam, cos_wo, scale_extra=None):
+def emitted_radiance(banks, idx, table, lam, cos_wo, tex=None):
     """Le(lambda) for emissive materials; zero on back side unless two_sided."""
     from ..spectral.cie import D65_PHOTOMETRIC
     from ..spectral.rgb2spec import rgb_illuminant_eval
 
-    le = rgb_illuminant_eval(table, jnp.maximum(banks.emissive_le[idx], 0.0), lam)
+    le_rgb = _tex_rgb(banks.emissive_le, banks.emissive_le_tex, idx, tex)
+    le = rgb_illuminant_eval(table, jnp.maximum(le_rgb, 0.0), lam)
     le = le * (banks.emissive_scale[idx] / D65_PHOTOMETRIC)[..., None]
     front = (cos_wo > 0.0) | banks.emissive_two_sided[idx]
     return jnp.where(front[..., None], le, 0.0)

@@ -26,7 +26,8 @@ MIRROR = 1
 GLASS = 2
 CONDUCTOR = 3
 EMISSIVE = 4
-N_MATERIAL_TYPES = 5
+INTERFACE = 5  # no BSDF: pure medium boundary (MediumInterface with no material)
+N_MATERIAL_TYPES = 6
 
 _LAM_GRID = np.arange(360.0, 831.0, dtype=np.float64)  # 471 samples
 
@@ -92,6 +93,13 @@ def Brass(roughness=0.0, **kw):
 
 
 @dataclass
+class Interface:
+    """Invisible medium boundary: rays pass straight through, switching
+    between inside/outside media (reference MediumInterface with no surface
+    material, materials/medium-interface.jl:39-105)."""
+
+
+@dataclass
 class Emissive:
     """Area emission material (emissive.jl:30-62); faces with this material
     are registered as DiffuseAreaLights at scene build."""
@@ -130,6 +138,15 @@ class MaterialBanks:
     emissive_le: jnp.ndarray    # (Ne, 3)
     emissive_scale: jnp.ndarray  # (Ne,)
     emissive_two_sided: jnp.ndarray  # (Ne,) bool
+    # texture references per field: >=0 atlas id, -1 const, -2 vertex color
+    # (the TPU form of TextureRef flattening, texture-ref.jl:206-219)
+    matte_kd_tex: jnp.ndarray    # (Nm,) int32
+    mirror_kr_tex: jnp.ndarray   # (Nr,) int32
+    glass_kr_tex: jnp.ndarray    # (Ng,) int32
+    glass_kt_tex: jnp.ndarray    # (Ng,) int32
+    glass_rough_tex: jnp.ndarray  # (Ng,) int32 (scales ax/ay)
+    cond_rough_tex: jnp.ndarray  # (Nc,) int32 (scales ax/ay)
+    emissive_le_tex: jnp.ndarray  # (Ne,) int32
 
 
 def _remap_alpha_host(rough, remap):
@@ -137,16 +154,44 @@ def _remap_alpha_host(rough, remap):
     return a
 
 
-def pack_materials(materials: list) -> tuple[MaterialBanks, np.ndarray, np.ndarray, set]:
+def pack_materials(
+    materials: list, atlas_builder=None
+) -> tuple[MaterialBanks, np.ndarray, np.ndarray, set]:
     """Pack a list of host materials into device banks.
+
+    atlas_builder: textures.atlas.AtlasBuilder collecting scene images; any
+    material field may be a tuple/float (constant), an ImageTexture, or a
+    VertexColorTexture.
 
     Returns (banks, type_tags (M,), bank_indices (M,), present_types).
     """
-    matte_kd, matte_sigma = [], []
-    mirror_kr = []
-    glass = {k: [] for k in ("kr", "kt", "eta", "ax", "ay")}
-    cond_eta, cond_k, cond_ax, cond_ay = [], [], [], []
-    emis_le, emis_scale, emis_two = [], [], []
+    from ..textures.atlas import (
+        CONST_TEX, VERTEX_TEX, AtlasBuilder, ImageTexture, VertexColorTexture,
+    )
+
+    if atlas_builder is None:
+        atlas_builder = AtlasBuilder()
+
+    def resolve_rgb(field, default=(1.0, 1.0, 1.0)):
+        """-> (const_rgb, tex_id)"""
+        if isinstance(field, ImageTexture):
+            return tuple(default), atlas_builder.add(field)
+        if isinstance(field, VertexColorTexture):
+            return tuple(default), VERTEX_TEX
+        return tuple(np.broadcast_to(np.asarray(field, np.float32), (3,))), CONST_TEX
+
+    def resolve_scalar(field, default=0.0):
+        if isinstance(field, ImageTexture):
+            return float(default), atlas_builder.add(field)
+        if isinstance(field, VertexColorTexture):
+            return float(default), VERTEX_TEX
+        return float(field), CONST_TEX
+
+    matte_kd, matte_sigma, matte_kd_tex = [], [], []
+    mirror_kr, mirror_kr_tex = [], []
+    glass = {k: [] for k in ("kr", "kt", "eta", "ax", "ay", "kr_tex", "kt_tex", "rough_tex")}
+    cond_eta, cond_k, cond_ax, cond_ay, cond_rough_tex = [], [], [], [], []
+    emis_le, emis_scale, emis_two, emis_le_tex = [], [], [], []
 
     tags = np.zeros(len(materials), np.int32)
     idxs = np.zeros(len(materials), np.int32)
@@ -155,18 +200,29 @@ def pack_materials(materials: list) -> tuple[MaterialBanks, np.ndarray, np.ndarr
     for i, m in enumerate(materials):
         if isinstance(m, Matte):
             tags[i], idxs[i] = MATTE, len(matte_kd)
-            matte_kd.append(m.kd)
+            kd, kd_tex = resolve_rgb(m.kd, (0.5, 0.5, 0.5))
+            matte_kd.append(kd)
+            matte_kd_tex.append(kd_tex)
             matte_sigma.append(m.sigma)
         elif isinstance(m, Mirror):
             tags[i], idxs[i] = MIRROR, len(mirror_kr)
-            mirror_kr.append(m.kr)
+            kr, kr_tex = resolve_rgb(m.kr)
+            mirror_kr.append(kr)
+            mirror_kr_tex.append(kr_tex)
         elif isinstance(m, Glass):
             tags[i], idxs[i] = GLASS, len(glass["kr"])
-            glass["kr"].append(m.kr)
-            glass["kt"].append(m.kt)
+            kr, kr_tex = resolve_rgb(m.kr)
+            kt, kt_tex = resolve_rgb(m.kt)
+            ur, rough_tex = resolve_scalar(m.u_roughness)
+            vr = ur if rough_tex >= 0 else float(m.v_roughness)
+            glass["kr"].append(kr)
+            glass["kt"].append(kt)
+            glass["kr_tex"].append(kr_tex)
+            glass["kt_tex"].append(kt_tex)
+            glass["rough_tex"].append(rough_tex)
             glass["eta"].append(m.eta)
-            glass["ax"].append(_remap_alpha_host(m.u_roughness, m.remap_roughness))
-            glass["ay"].append(_remap_alpha_host(m.v_roughness, m.remap_roughness))
+            glass["ax"].append(_remap_alpha_host(ur, m.remap_roughness))
+            glass["ay"].append(_remap_alpha_host(vr, m.remap_roughness))
         elif isinstance(m, Conductor):
             tags[i], idxs[i] = CONDUCTOR, len(cond_eta)
             if m.metal is not None:
@@ -184,14 +240,20 @@ def pack_materials(materials: list) -> tuple[MaterialBanks, np.ndarray, np.ndarr
 
                 cond_eta.append(rgb_to_dense(np.asarray(m.eta)))
                 cond_k.append(rgb_to_dense(np.asarray(m.k)))
-            vr = m.roughness if m.v_roughness is None else m.v_roughness
-            cond_ax.append(_remap_alpha_host(m.roughness, m.remap_roughness))
+            rough, rough_tex = resolve_scalar(m.roughness)
+            vr = rough if m.v_roughness is None else m.v_roughness
+            cond_ax.append(_remap_alpha_host(rough, m.remap_roughness))
             cond_ay.append(_remap_alpha_host(vr, m.remap_roughness))
+            cond_rough_tex.append(rough_tex)
         elif isinstance(m, Emissive):
             tags[i], idxs[i] = EMISSIVE, len(emis_le)
-            emis_le.append(m.le)
+            le, le_tex = resolve_rgb(m.le)
+            emis_le.append(le)
+            emis_le_tex.append(le_tex)
             emis_scale.append(m.scale)
             emis_two.append(m.two_sided)
+        elif isinstance(m, Interface):
+            tags[i], idxs[i] = INTERFACE, 0
         else:
             raise TypeError(f"unknown material {type(m)}")
         present.add(int(tags[i]))
@@ -224,5 +286,12 @@ def pack_materials(materials: list) -> tuple[MaterialBanks, np.ndarray, np.ndarr
         emissive_le=pad3(emis_le, (1.0, 1.0, 1.0)),
         emissive_scale=pad1(emis_scale, 1.0),
         emissive_two_sided=pad1(emis_two, False, bool),
+        matte_kd_tex=pad1(matte_kd_tex, -1, jnp.int32),
+        mirror_kr_tex=pad1(mirror_kr_tex, -1, jnp.int32),
+        glass_kr_tex=pad1(glass["kr_tex"], -1, jnp.int32),
+        glass_kt_tex=pad1(glass["kt_tex"], -1, jnp.int32),
+        glass_rough_tex=pad1(glass["rough_tex"], -1, jnp.int32),
+        cond_rough_tex=pad1(cond_rough_tex, -1, jnp.int32),
+        emissive_le_tex=pad1(emis_le_tex, -1, jnp.int32),
     )
     return banks, tags, idxs, present

@@ -1,0 +1,431 @@
+"""Device-side medium sampling: delta tracking, ratio tracking, HG phase.
+
+Parity with /root/reference/src/integrators/volpath/delta-tracking.jl
+(sample_T_maj_loop!/sample_segment!: exponential free-flight against the
+majorant, absorb / real-scatter / null-scatter events with rescaled-pdf
+(r_u, r_l) bookkeeping) and intersection.jl's ratio-tracking shadow
+transmittance. The reference's per-thread unbounded loops become one
+lockstep lax.while_loop over the whole wavefront with per-lane status.
+
+Note on HG conventions: the reference's NEE evaluates hg_p(g, dot(wo, wi))
+while its sampler draws cos(theta) measured from -wo — a lobe flip. We
+follow pbrt-v4 exactly instead: the scattering angle is always measured
+from the propagation direction (-wo), i.e. p = hg(dot(-wo, wi), g) with the
+(1 + g^2 - 2 g cos)^{3/2} denominator.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass
+from ..core.vecmath import coordinate_system, normalize
+from ..sampling import u64
+from ..sampling.hashes import mix_bits
+from ..spectral.rgb2spec import rgb_unbounded_eval
+from .types import GRID, HOMOGENEOUS, MediumBanks
+
+MAX_TRACK_STEPS = 1024  # reference cap: 1024 samples (delta-tracking.jl:343)
+ONE_MINUS_EPS = jnp.float32(1.0 - 2**-24)
+
+# lane status codes for delta tracking
+TRACKING = 0
+PASSED = 1      # reached t_max (surface or escape)
+SCATTERED = 2   # real scatter event
+ABSORBED = 3
+
+
+# --- deterministic per-ray LCG (delta-tracking.jl:18-58) ----------------------
+
+
+def lcg_init(o, d, t_max):
+    """Seed from ray geometry (pbrt pattern). Returns u64 state per lane."""
+    ob = [jax.lax.bitcast_convert_type(o[..., i], jnp.uint32) for i in range(3)]
+    db = [jax.lax.bitcast_convert_type(d[..., i], jnp.uint32) for i in range(3)]
+    tm = jax.lax.bitcast_convert_type(
+        jnp.where(jnp.isfinite(t_max), t_max, 1e30).astype(jnp.float32), jnp.uint32
+    )
+    s1 = mix_bits(
+        u64.xor(
+            u64.xor(u64.from_u32(ob[0]), u64.shl(u64.from_u32(ob[1]), 16)),
+            u64.xor(u64.shl(u64.from_u32(ob[2]), 32), u64.from_u32(tm)),
+        )
+    )
+    s2 = mix_bits(
+        u64.xor(
+            u64.xor(u64.from_u32(db[0]), u64.shl(u64.from_u32(db[1]), 16)),
+            u64.shl(u64.from_u32(db[2]), 32),
+        )
+    )
+    return u64.xor(s1, s2)
+
+
+def lcg_next(state):
+    """(new_state, uniform float32 in [0,1)) — delta-tracking.jl:48-58."""
+    new = u64.add(u64.mul_const(state, 0x5DEECE66D), u64.from_int(11, like=state[0]))
+    r = u64.to_u32(u64.shr(new, 32)).astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    return new, jnp.minimum(r, ONE_MINUS_EPS)
+
+
+# --- HG phase function (media.jl:16-77, pbrt-v4 convention) --------------------
+
+
+def hg_phase(g, cos_theta_scatter):
+    """p(cos) with cos measured between propagation dir (-wo) and wi."""
+    g = jnp.clip(g, -0.99, 0.99)
+    g2 = g * g
+    denom = jnp.maximum(1.0 + g2 - 2.0 * g * cos_theta_scatter, 1e-7)
+    return (1.0 - g2) / (4.0 * jnp.pi * denom * jnp.sqrt(denom))
+
+
+def hg_eval(g, wo, wi):
+    """Phase value = pdf for (wo, wi) pointing away from the scatter point."""
+    return hg_phase(g, jnp.sum(-wo * wi, axis=-1))
+
+
+def hg_sample(g, wo, u2):
+    """Sample wi from the HG lobe around the propagation direction -wo.
+    Returns (wi, pdf)."""
+    g = jnp.clip(g, -0.99, 0.99)
+    iso = jnp.abs(g) < 1e-3
+    g_safe = jnp.where(iso, 0.5, g)
+    g2 = g_safe * g_safe
+    sqr = (1.0 - g2) / (1.0 - g_safe + 2.0 * g_safe * u2[..., 0])
+    cos_aniso = jnp.clip((1.0 + g2 - sqr * sqr) / (2.0 * g_safe), -1.0, 1.0)
+    cos_t = jnp.where(iso, 1.0 - 2.0 * u2[..., 0], cos_aniso)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    fwd = -wo
+    t1, t2 = coordinate_system(fwd)
+    wi = normalize(
+        (sin_t * jnp.cos(phi))[..., None] * t1
+        + (sin_t * jnp.sin(phi))[..., None] * t2
+        + cos_t[..., None] * fwd
+    )
+    return wi, hg_phase(g, cos_t)
+
+
+# --- medium property lookup ----------------------------------------------------
+
+
+def _grid_density(banks: MediumBanks, midx, p):
+    """Trilinear density lookup in medium-local [0,1]^3 (media.jl:1544-1758)."""
+    lo = banks.bounds_lo[midx]
+    hi = banks.bounds_hi[midx]
+    res = banks.grid_res[midx]  # (..., 3) = (nx, ny, nz)
+    off = banks.grid_offset[midx]
+    ext = jnp.maximum(hi - lo, 1e-12)
+    q = (p - lo) / ext  # [0,1]^3
+    inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+
+    nx = res[..., 0]
+    ny = res[..., 1]
+    nz = res[..., 2]
+    # voxel-centered samples
+    fx = jnp.clip(q[..., 0] * nx.astype(jnp.float32) - 0.5, 0.0, nx.astype(jnp.float32) - 1.0)
+    fy = jnp.clip(q[..., 1] * ny.astype(jnp.float32) - 0.5, 0.0, ny.astype(jnp.float32) - 1.0)
+    fz = jnp.clip(q[..., 2] * nz.astype(jnp.float32) - 0.5, 0.0, nz.astype(jnp.float32) - 1.0)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    z0 = jnp.floor(fz).astype(jnp.int32)
+    dx = fx - x0.astype(jnp.float32)
+    dy = fy - y0.astype(jnp.float32)
+    dz = fz - z0.astype(jnp.float32)
+    x1 = jnp.minimum(x0 + 1, nx - 1)
+    y1 = jnp.minimum(y0 + 1, ny - 1)
+    z1 = jnp.minimum(z0 + 1, nz - 1)
+
+    def at(xi, yi, zi):
+        lin = off + (zi * ny + yi) * nx + xi
+        return banks.density[jnp.clip(lin, 0, banks.density.shape[0] - 1)]
+
+    c00 = at(x0, y0, z0) * (1 - dx) + at(x1, y0, z0) * dx
+    c10 = at(x0, y1, z0) * (1 - dx) + at(x1, y1, z0) * dx
+    c01 = at(x0, y0, z1) * (1 - dx) + at(x1, y0, z1) * dx
+    c11 = at(x0, y1, z1) * (1 - dx) + at(x1, y1, z1) * dx
+    c0 = c00 * (1 - dy) + c10 * dy
+    c1 = c01 * (1 - dy) + c11 * dy
+    d = c0 * (1 - dz) + c1 * dz
+    return jnp.where(inside, d, 0.0)
+
+
+def medium_properties(banks: MediumBanks, table, midx, p, lam):
+    """sigma_a, sigma_s, Le at wavelengths lam; HG g (sample_point analog).
+
+    midx (...,), p (...,3), lam (...,4) -> spectra (...,4), g (...,)."""
+    sa = rgb_unbounded_eval(table, banks.sigma_a[midx], lam)
+    ss = rgb_unbounded_eval(table, banks.sigma_s[midx], lam)
+    le = rgb_unbounded_eval(table, banks.le[midx], lam)
+    g = banks.g[midx]
+    is_grid = banks.med_type[midx] == GRID
+    if banks.has_grid:
+        dens = _grid_density(banks, midx, p)
+        scale = jnp.where(is_grid, dens, 1.0)
+    else:
+        scale = jnp.ones_like(g)
+    return sa * scale[..., None], ss * scale[..., None], le, g
+
+
+def majorant(banks: MediumBanks, table, midx, lam):
+    """Per-lane spectral majorant sigma_maj(lambda) (global per medium;
+    DDA voxel majorants are a later optimization)."""
+    sa = rgb_unbounded_eval(table, banks.sigma_a[midx], lam)
+    ss = rgb_unbounded_eval(table, banks.sigma_s[midx], lam)
+    maj = (sa + ss) * banks.max_density[midx][..., None]
+    return maj
+
+
+def medium_segment(banks: MediumBanks, midx, o, d, t_max):
+    """Ray-medium overlap [t0, t1]: full ray for homogeneous, AABB slab for
+    grids. Returns (t0, t1) clipped to [0, t_max]."""
+    is_grid = banks.med_type[midx] == GRID
+    lo = banks.bounds_lo[midx]
+    hi = banks.bounds_hi[midx]
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    ta = (lo - o) * inv_d
+    tb = (hi - o) * inv_d
+    t_near = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    t_far = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    t0 = jnp.where(is_grid, jnp.maximum(t_near, 0.0), 0.0)
+    t1 = jnp.where(is_grid, jnp.minimum(t_far, t_max), t_max)
+    t1 = jnp.where(t1 < t0, t0, t1)
+    return t0, t1
+
+
+@pytree_dataclass
+class DeltaTrackResult:
+    status: jnp.ndarray     # (N,) TRACKING/PASSED/SCATTERED/ABSORBED
+    t_scatter: jnp.ndarray  # (N,)
+    p_scatter: jnp.ndarray  # (N, 3)
+    beta: jnp.ndarray       # (N, 4)
+    r_u: jnp.ndarray        # (N, 4)
+    r_l: jnp.ndarray        # (N, 4)
+    L_emit: jnp.ndarray     # (N, 4) accumulated volumetric emission
+    g: jnp.ndarray          # (N,) HG g at the scatter point
+
+
+def delta_track(
+    banks: MediumBanks,
+    table,
+    midx,          # (N,) medium index (lanes with <0 are inactive)
+    o, d,          # (N,3) ray
+    t_max,         # (N,) surface distance or +inf
+    lam,           # (N,4)
+    beta, r_u, r_l,  # (N,4) path state
+    active,        # (N,) bool: lanes that should run tracking
+    max_depth_hit,  # (N,) bool: lanes already at depth limit (no scattering)
+) -> DeltaTrackResult:
+    """Lockstep delta tracking (sample_segment!, delta-tracking.jl:304-453).
+
+    For inactive lanes everything passes through unchanged with
+    status=PASSED."""
+    n = o.shape[0]
+    mi = jnp.maximum(midx, 0)
+    sig_maj = majorant(banks, table, mi, lam)          # (N,4)
+    sig_maj0 = sig_maj[..., 0]
+    t0, t1 = medium_segment(banks, mi, o, d, t_max)
+
+    rng = lcg_init(o, d, t_max)
+    zero_vec = o[..., 0] * 0.0
+
+    empty = sig_maj0 < 1e-10
+    status0 = jnp.where(active & ~empty, TRACKING, PASSED).astype(jnp.int32)
+
+    state = dict(
+        status=status0,
+        t=t0 + zero_vec,
+        beta=beta,
+        r_u=r_u,
+        r_l=r_l,
+        L=jnp.zeros_like(beta),
+        rng=rng,
+        step=jnp.zeros((), jnp.int32) + jnp.sum(zero_vec).astype(jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s["status"] == TRACKING) & (s["step"] < MAX_TRACK_STEPS)
+
+    def body(s):
+        tracking = s["status"] == TRACKING
+        rng, u = lcg_next(s["rng"])
+        dt = -jnp.log(jnp.maximum(1e-10, 1.0 - u)) / jnp.maximum(sig_maj0, 1e-10)
+        t_new = s["t"] + dt
+
+        # past segment end: apply residual majorant transmittance, PASS
+        past = t_new >= t1
+        dt_remain = jnp.maximum(t1 - s["t"], 0.0)
+        t_maj_rem = jnp.exp(-dt_remain[..., None] * sig_maj)
+        rem0 = jnp.maximum(t_maj_rem[..., 0:1], 1e-10)
+        pass_scale = t_maj_rem / rem0
+        upd = tracking & past
+        beta = jnp.where(upd[..., None], s["beta"] * pass_scale, s["beta"])
+        r_u = jnp.where(upd[..., None], s["r_u"] * pass_scale, s["r_u"])
+        r_l = jnp.where(upd[..., None], s["r_l"] * pass_scale, s["r_l"])
+        status = jnp.where(upd, PASSED, s["status"])
+
+        # interaction candidate
+        inter = tracking & ~past
+        t_maj = jnp.exp(-dt[..., None] * sig_maj)
+        p = o + t_new[..., None] * d
+        sa, ss_, le, g = medium_properties(banks, table, mi, p, lam)
+
+        # volumetric emission (delta-tracking.jl:371-382)
+        pr = sig_maj0 * t_maj[..., 0]
+        r_e = s["r_u"] * sig_maj * t_maj / jnp.maximum(pr[..., None], 1e-10)
+        r_e_avg = jnp.mean(r_e, axis=-1)
+        le_ok = inter & (pr > 1e-10) & (r_e_avg > 0.0) & jnp.any(le > 0.0, -1)
+        le_contrib = s["beta"] * sa * t_maj * le / jnp.maximum(
+            (pr * r_e_avg)[..., None], 1e-10
+        )
+        L = s["L"] + jnp.where(le_ok[..., None], le_contrib, 0.0)
+
+        p_absorb = sa[..., 0] / jnp.maximum(sig_maj0, 1e-10)
+        p_scat = ss_[..., 0] / jnp.maximum(sig_maj0, 1e-10)
+        rng, u_ev = lcg_next(rng)
+
+        absorb = inter & (u_ev < p_absorb)
+        scatter = inter & ~absorb & (u_ev < p_absorb + p_scat) & ~max_depth_hit
+        depth_kill = inter & ~absorb & (u_ev < p_absorb + p_scat) & max_depth_hit
+        null = inter & (u_ev >= p_absorb + p_scat)
+
+        status = jnp.where(absorb, ABSORBED, status)
+        beta = jnp.where(absorb[..., None], 0.0, beta)
+        status = jnp.where(depth_kill, ABSORBED, status)
+
+        # real scatter: rescale beta, r_u (delta-tracking.jl:398-407)
+        pdf_s = jnp.maximum(t_maj[..., 0] * ss_[..., 0], 1e-10)
+        scale_s = t_maj * ss_ / pdf_s[..., None]
+        beta = jnp.where(scatter[..., None], beta * scale_s, beta)
+        r_u = jnp.where(scatter[..., None], r_u * scale_s, r_u)
+        status = jnp.where(scatter, SCATTERED, status)
+
+        # null scatter: continue (delta-tracking.jl:425-447)
+        sig_n = jnp.maximum(sig_maj - sa - ss_, 0.0)
+        pdf_n = t_maj[..., 0] * sig_n[..., 0]
+        ok_n = pdf_n > 1e-10
+        scale_nu = t_maj * sig_n / jnp.maximum(pdf_n[..., None], 1e-10)
+        scale_nl = t_maj * sig_maj / jnp.maximum(pdf_n[..., None], 1e-10)
+        beta = jnp.where((null & ok_n)[..., None], beta * scale_nu, beta)
+        r_u = jnp.where((null & ok_n)[..., None], r_u * scale_nu, r_u)
+        r_l = jnp.where((null & ok_n)[..., None], r_l * scale_nl, r_l)
+        status = jnp.where(null & ~ok_n, ABSORBED, status)
+        beta = jnp.where((null & ~ok_n)[..., None], 0.0, beta)
+        dead = jnp.all(beta == 0.0, -1) | jnp.all(r_u == 0.0, -1)
+        status = jnp.where((status == TRACKING) & dead, ABSORBED, status)
+
+        t = jnp.where(null, t_new, s["t"])
+        # record scatter t for position reconstruction
+        t = jnp.where(scatter, t_new, t)
+
+        return dict(
+            status=status, t=t, beta=beta, r_u=r_u, r_l=r_l, L=L, rng=rng,
+            step=s["step"] + 1,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    status = jnp.where(state["status"] == TRACKING, PASSED, state["status"])
+    t_sc = state["t"]
+    p_sc = o + t_sc[..., None] * d
+    _, _, _, g = medium_properties(banks, table, mi, p_sc, lam)
+    return DeltaTrackResult(
+        status=jnp.where(active, status, PASSED),
+        t_scatter=t_sc,
+        p_scatter=p_sc,
+        beta=jnp.where(active[..., None], state["beta"], beta),
+        r_u=jnp.where(active[..., None], state["r_u"], r_u),
+        r_l=jnp.where(active[..., None], state["r_l"], r_l),
+        L_emit=jnp.where(active[..., None], state["L"], 0.0),
+        g=g,
+    )
+
+
+def ratio_track_tr(
+    banks: MediumBanks,
+    table,
+    midx,
+    o, d,
+    t_max,
+    lam,
+    active,
+):
+    """Ratio-tracked shadow transmittance through one medium segment
+    (compute_transmittance_ratio_tracking, intersection.jl:302-563).
+
+    Returns (T_ray, r_l, r_u) multipliers (all (N,4), ones for inactive)."""
+    n = o.shape[0]
+    mi = jnp.maximum(midx, 0)
+    sig_maj = majorant(banks, table, mi, lam)
+    sig_maj0 = sig_maj[..., 0]
+    t0, t1 = medium_segment(banks, mi, o, d, t_max)
+
+    rng = lcg_init(o, d, t_max * 0.731 + 1.0)  # decorrelate from camera paths
+    zero = o[..., 0] * 0.0
+    ones4 = 1.0 + jnp.zeros_like(lam)
+
+    run = active & (sig_maj0 >= 1e-10)
+    state = dict(
+        running=run,
+        t=t0 + zero,
+        T=ones4,
+        r_l=ones4,
+        r_u=ones4,
+        rng=rng,
+        step=jnp.zeros((), jnp.int32) + jnp.sum(zero).astype(jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s["running"]) & (s["step"] < MAX_TRACK_STEPS)
+
+    def body(s):
+        rng, u = lcg_next(s["rng"])
+        dt = -jnp.log(jnp.maximum(1e-10, 1.0 - u)) / jnp.maximum(sig_maj0, 1e-10)
+        t_new = s["t"] + dt
+        past = t_new >= t1
+
+        # residual transmittance to segment end
+        dt_rem = jnp.maximum(t1 - s["t"], 0.0)
+        t_rem = jnp.exp(-dt_rem[..., None] * sig_maj)
+        rem0 = jnp.maximum(t_rem[..., 0:1], 1e-10)
+        fin = s["running"] & past
+        T = jnp.where(fin[..., None], s["T"] * t_rem / rem0, s["T"])
+        r_l = jnp.where(fin[..., None], s["r_l"] * t_rem / rem0, s["r_l"])
+        r_u = jnp.where(fin[..., None], s["r_u"] * t_rem / rem0, s["r_u"])
+        running = s["running"] & ~past
+
+        # null collision: multiply by sigma_n / sigma_maj ratios
+        t_maj = jnp.exp(-dt[..., None] * sig_maj)
+        p = o + t_new[..., None] * d
+        sa, ss_, _, _ = medium_properties(banks, table, mi, p, lam)
+        sig_n = jnp.maximum(sig_maj - sa - ss_, 0.0)
+        pdf = jnp.maximum(t_maj[..., 0] * sig_maj[..., 0], 1e-10)
+        T = jnp.where(
+            running[..., None], T * t_maj * sig_n / pdf[..., None], T
+        )
+        r_l = jnp.where(
+            running[..., None], r_l * t_maj * sig_maj / pdf[..., None], r_l
+        )
+        r_u = jnp.where(
+            running[..., None], r_u * t_maj * sig_n / pdf[..., None], r_u
+        )
+
+        # russian roulette on low T (pbrt: q=0.75 when maxComponent < 0.05)
+        t_over = T / jnp.maximum(r_l, 1e-10)
+        low = jnp.max(t_over, -1) < 0.05
+        rng, u_rr = lcg_next(rng)
+        killed = running & low & (u_rr < 0.75)
+        T = jnp.where(killed[..., None], 0.0, T)
+        T = jnp.where((running & low & ~killed)[..., None], T / 0.25, T)
+        running = running & ~killed & ~jnp.all(T == 0.0, -1)
+
+        return dict(
+            running=running, t=jnp.where(running, t_new, s["t"]),
+            T=T, r_l=r_l, r_u=r_u, rng=rng, step=s["step"] + 1,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    ones4 = 1.0 + jnp.zeros_like(lam)
+    T = jnp.where(active[..., None], state["T"], ones4)
+    r_l = jnp.where(active[..., None], state["r_l"], ones4)
+    r_u = jnp.where(active[..., None], state["r_u"], ones4)
+    return T, r_l, r_u

@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,15 +101,23 @@ def encode_morton2(x, y):
     return u64.or_(u64.shl(sy, 1), sx)
 
 
-def zsobol_get_sample_index(morton_index, dimension: int, log2_spp: int, n_base4_digits: int):
+def zsobol_get_sample_index(morton_index, dimension, log2_spp: int, n_base4_digits: int):
     """Randomized base-4 digit permutation of the Morton index
-    (sobol.jl:219-258). dimension / log2_spp / n_base4_digits are static."""
+    (sobol.jl:219-258). log2_spp / n_base4_digits are static; dimension may
+    be a Python int or a traced uint32 scalar (wavefront bounce loops trace
+    the bounce index)."""
     like = morton_index[0]
     sample_index = u64.from_int(0, like=like)
     pow2 = log2_spp & 1
     last_digit = pow2
 
-    dim_mix = u64.from_int((0x55555555 * dimension) & 0xFFFFFFFFFFFFFFFF, like=like)
+    if isinstance(dimension, int):
+        dim_mix = u64.from_int((0x55555555 * dimension) & 0xFFFFFFFFFFFFFFFF, like=like)
+    else:
+        dim_mix = u64.mul(
+            u64.from_u32(jnp.broadcast_to(jnp.asarray(dimension, jnp.uint32), like.shape)),
+            u64.from_int(0x55555555, like=like),
+        )
 
     for i in range(n_base4_digits - 1, last_digit - 1, -1):
         digit_shift = max(0, 2 * i - pow2)
@@ -129,11 +138,21 @@ def zsobol_get_sample_index(morton_index, dimension: int, log2_spp: int, n_base4
     return sample_index
 
 
-def sobol_sample_u32(index, dimension: int, max_bits: int):
+def sobol_sample_u32(index, dimension, max_bits: int):
     """Generator-matrix product: XOR rows of matrix `dimension` selected by
-    the bits of `index` (sobol.jl:100-129). Unscrambled uint32 result."""
+    the bits of `index` (sobol.jl:100-129). Unscrambled uint32 result.
+    `dimension` may be static or a traced scalar."""
     mats = sobol_matrices()
-    rows = mats[dimension, :max_bits]  # (max_bits,) uint32
+    if isinstance(dimension, int):
+        rows = mats[dimension, :max_bits]  # (max_bits,) uint32 numpy
+        rows = [jnp.uint32(int(r)) for r in rows]
+    else:
+        dyn = jax.lax.dynamic_slice(
+            jnp.asarray(mats),
+            (jnp.asarray(dimension, jnp.int32), jnp.int32(0)),
+            (1, SOBOL_MATRIX_SIZE),
+        )[0]
+        rows = [dyn[b] for b in range(max_bits)]
     v = jnp.zeros_like(index[1])
     for b in range(max_bits):
         mask = jnp.uint32(0) - u64.bit(index, b)  # 0 or 0xffffffff
@@ -152,24 +171,25 @@ def morton_index(cfg: ZSobolConfig, px, py, sample_idx):
     return u64.or_(m, u64.from_u32(jnp.asarray(sample_idx, jnp.uint32)))
 
 
-def _scrambled(cfg: ZSobolConfig, mort, dim: int, sobol_dim: int, seed_hash):
+def _scrambled(cfg: ZSobolConfig, mort, dim, sobol_dim: int, seed_hash):
     max_bits = min(2 * cfg.n_base4_digits, SOBOL_MATRIX_SIZE)
     idx = zsobol_get_sample_index(mort, dim, cfg.log2_spp, cfg.n_base4_digits)
     v = sobol_sample_u32(idx, sobol_dim, max_bits)
     return _finalize(fast_owen_scramble(v, seed_hash))
 
 
-def sample_1d(cfg: ZSobolConfig, px, py, sample_idx, dim: int):
-    """1D sample at static dimension `dim` (sobol.jl:268-282)."""
+def sample_1d(cfg: ZSobolConfig, px, py, sample_idx, dim):
+    """1D sample at dimension `dim` (static int or traced scalar)
+    (sobol.jl:268-282)."""
     mort = morton_index(cfg, px, py, sample_idx)
-    h = zsobol_hash(jnp.uint32(dim + 1), jnp.broadcast_to(cfg.seed, px.shape))
+    h = zsobol_hash(jnp.asarray(dim + 1, jnp.uint32), jnp.broadcast_to(cfg.seed, px.shape))
     return _scrambled(cfg, mort, dim, 0, u64.to_u32(h))
 
 
-def sample_2d(cfg: ZSobolConfig, px, py, sample_idx, dim: int):
-    """2D sample at static dimension `dim` (sobol.jl:289-310)."""
+def sample_2d(cfg: ZSobolConfig, px, py, sample_idx, dim):
+    """2D sample at dimension `dim` (static or traced) (sobol.jl:289-310)."""
     mort = morton_index(cfg, px, py, sample_idx)
-    h = zsobol_hash(jnp.uint32(dim + 2), jnp.broadcast_to(cfg.seed, px.shape))
+    h = zsobol_hash(jnp.asarray(dim + 2, jnp.uint32), jnp.broadcast_to(cfg.seed, px.shape))
     u1 = _scrambled(cfg, mort, dim, 0, u64.to_u32(h))
     u2 = _scrambled(cfg, mort, dim, 1, h[0])
     return u1, u2
@@ -199,10 +219,10 @@ def compute_pixel_sample(cfg: ZSobolConfig, px, py, sample_idx) -> PixelSample:
     )
 
 
-def path_sample_1d(cfg: ZSobolConfig, px, py, sample_idx, depth: int, local_dim: int):
+def path_sample_1d(cfg: ZSobolConfig, px, py, sample_idx, depth, local_dim: int):
     """Path dims: base 6 + 8 per depth (sobol.jl:448-471)."""
     return sample_1d(cfg, px, py, sample_idx, 6 + depth * 8 + local_dim)
 
 
-def path_sample_2d(cfg: ZSobolConfig, px, py, sample_idx, depth: int, local_dim: int):
+def path_sample_2d(cfg: ZSobolConfig, px, py, sample_idx, depth, local_dim: int):
     return sample_2d(cfg, px, py, sample_idx, 6 + depth * 8 + local_dim)

@@ -17,6 +17,7 @@ class TriangleMesh:
     faces: np.ndarray             # (F, 3) int32
     normals: np.ndarray | None = None  # (V, 3)
     uvs: np.ndarray | None = None      # (V, 2)
+    colors: np.ndarray | None = None   # (V, 3) per-vertex colors
     transform: np.ndarray | None = None  # optional 4x4 object-to-world
 
     def __post_init__(self):
@@ -26,6 +27,8 @@ class TriangleMesh:
             self.normals = np.asarray(self.normals, np.float32).reshape(-1, 3)
         if self.uvs is not None:
             self.uvs = np.asarray(self.uvs, np.float32).reshape(-1, 2)
+        if self.colors is not None:
+            self.colors = np.asarray(self.colors, np.float32).reshape(-1, 3)
 
     @property
     def n_faces(self):

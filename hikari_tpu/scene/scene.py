@@ -19,11 +19,13 @@ from ..geometry.bvh import build_bvh
 from ..geometry.traverse import DeviceBVH
 from ..lights.types import LightBanks, pack_lights
 from ..materials.types import EMISSIVE, MaterialBanks, pack_materials
+from ..media.types import MediumBanks, pack_media
 from ..spectral.rgb2spec import RGBToSpectrumTable, srgb_table
+from ..textures.atlas import AtlasBuilder, TextureAtlas
 from .mesh import TriangleMesh, compute_vertex_normals
 
 
-@pytree_dataclass(static=("present_materials", "n_lights", "n_faces"))
+@pytree_dataclass(static=("present_materials", "n_lights", "n_faces", "has_media"))
 class SceneData:
     """Device-resident scene: BVH + per-face metadata + typed banks."""
 
@@ -35,10 +37,18 @@ class SceneData:
     uv0: jnp.ndarray  # (F, 2)
     uv1: jnp.ndarray
     uv2: jnp.ndarray
+    c0: jnp.ndarray             # (F, 3) per-corner vertex colors
+    c1: jnp.ndarray
+    c2: jnp.ndarray
     mat_type: jnp.ndarray       # (F,) int32 material type tag
     mat_idx: jnp.ndarray        # (F,) int32 index into that type's bank
     arealight_idx: jnp.ndarray  # (F,) int32 area light id; -1 if none
+    inside_medium: jnp.ndarray  # (F,) int32 medium id behind the face; -1 vacuum
+    outside_medium: jnp.ndarray  # (F,) int32 medium id in front; -1 vacuum
     materials: MaterialBanks
+    atlas: "TextureAtlas"       # scene texture atlas (textures/atlas.py)
+    media: MediumBanks
+    camera_medium: jnp.ndarray  # () int32; -1 vacuum
     lights: LightBanks
     rgb2spec: RGBToSpectrumTable
     world_lo: jnp.ndarray   # (3,)
@@ -47,6 +57,7 @@ class SceneData:
     present_materials: tuple
     n_lights: int
     n_faces: int
+    has_media: bool
 
 
 class Scene:
@@ -55,11 +66,30 @@ class Scene:
     def __init__(self):
         self._meshes: list[TriangleMesh] = []
         self._mesh_mat: list[int] = []
+        self._mesh_media: list[tuple[int, int]] = []
         self._materials: list = []
+        self._media: list = []
         self._lights: list = []
+        self._camera_medium: int = -1
+        self._light_sampler: str = "power"
 
-    def add(self, mesh: TriangleMesh, material) -> int:
-        """push!(scene, mesh, material) (scene-mesh.jl:9-17). Returns mesh id."""
+    def set_light_sampler(self, mode: str) -> None:
+        """'power' (default) or 'uniform' (VolPath light_sampler option)."""
+        assert mode in ("power", "uniform"), mode
+        self._light_sampler = mode
+
+    def _medium_id(self, medium) -> int:
+        if medium is None:
+            return -1
+        for i, m in enumerate(self._media):
+            if m is medium or m == medium:
+                return i
+        self._media.append(medium)
+        return len(self._media) - 1
+
+    def add(self, mesh: TriangleMesh, material, inside_medium=None, outside_medium=None) -> int:
+        """push!(scene, mesh, material) (scene-mesh.jl:9-17), optionally with
+        a MediumInterface (inside/outside media, scene.jl:91-102)."""
         try:
             mat_id = self._materials.index(material)
         except ValueError:
@@ -67,7 +97,15 @@ class Scene:
             self._materials.append(material)
         self._meshes.append(mesh)
         self._mesh_mat.append(mat_id)
+        self._mesh_media.append(
+            (self._medium_id(inside_medium), self._medium_id(outside_medium))
+        )
         return len(self._meshes) - 1
+
+    def set_camera_medium(self, medium) -> None:
+        """Medium the camera sits inside (reference detect_camera_medium,
+        volpath/intersection.jl:690-760)."""
+        self._camera_medium = self._medium_id(medium)
 
     def add_light(self, light) -> None:
         """push!(scene, light) (scene.jl:76-78)."""
@@ -79,9 +117,14 @@ class Scene:
         p0s, p1s, p2s = [], [], []
         n0s, n1s, n2s = [], [], []
         uv0s, uv1s, uv2s = [], [], []
+        c0s, c1s, c2s = [], [], []
         mat_of_face = []
+        inside_of_face = []
+        outside_of_face = []
 
-        for mesh, mat_id in zip(self._meshes, self._mesh_mat):
+        for mesh, mat_id, (in_med, out_med) in zip(
+            self._meshes, self._mesh_mat, self._mesh_media
+        ):
             v = mesh.vertices
             if mesh.transform is not None:
                 m = np.asarray(mesh.transform, np.float32)
@@ -104,7 +147,13 @@ class Scene:
             uv0s.append(uv[f[:, 0]])
             uv1s.append(uv[f[:, 1]])
             uv2s.append(uv[f[:, 2]])
+            c = mesh.colors if mesh.colors is not None else np.ones((len(v), 3), np.float32)
+            c0s.append(c[f[:, 0]])
+            c1s.append(c[f[:, 1]])
+            c2s.append(c[f[:, 2]])
             mat_of_face.append(np.full(len(f), mat_id, np.int32))
+            inside_of_face.append(np.full(len(f), in_med, np.int32))
+            outside_of_face.append(np.full(len(f), out_med, np.int32))
 
         p0 = np.concatenate(p0s).astype(np.float32)
         p1 = np.concatenate(p1s).astype(np.float32)
@@ -115,9 +164,15 @@ class Scene:
         uv0 = np.concatenate(uv0s).astype(np.float32)
         uv1 = np.concatenate(uv1s).astype(np.float32)
         uv2 = np.concatenate(uv2s).astype(np.float32)
+        c0 = np.concatenate(c0s).astype(np.float32)
+        c1 = np.concatenate(c1s).astype(np.float32)
+        c2 = np.concatenate(c2s).astype(np.float32)
         mat_of_face = np.concatenate(mat_of_face)
+        inside_of_face = np.concatenate(inside_of_face)
+        outside_of_face = np.concatenate(outside_of_face)
 
-        banks, tags, idxs, present = pack_materials(self._materials)
+        atlas_builder = AtlasBuilder()
+        banks, tags, idxs, present = pack_materials(self._materials, atlas_builder)
         face_type = tags[mat_of_face]
         face_idx = idxs[mat_of_face]
 
@@ -126,14 +181,20 @@ class Scene:
         arealight_idx = np.full(len(p0), -1, np.int32)
         area_tris = None
         if emissive_mask.any():
+            from ..textures.atlas import ImageTexture
+
+            def baked_le(mat):
+                # textured emission is baked to its mean color for NEE;
+                # direct hits still see the full texture
+                le = mat.le
+                if isinstance(le, ImageTexture):
+                    le = np.asarray(le.image, np.float32).reshape(-1, 3).mean(0)
+                return np.asarray(le, np.float32) * mat.scale
+
             which = np.nonzero(emissive_mask)[0]
             arealight_idx[which] = np.arange(len(which), dtype=np.int32)
             a_le = np.stack(
-                [
-                    np.asarray(self._materials[mat_of_face[i]].le, np.float32)
-                    * self._materials[mat_of_face[i]].scale
-                    for i in which
-                ]
+                [baked_le(self._materials[mat_of_face[i]]) for i in which]
             )
             a_two = np.array(
                 [self._materials[mat_of_face[i]].two_sided for i in which], bool
@@ -154,12 +215,15 @@ class Scene:
             p2=jnp.asarray(p2[order]),
         )
 
-        lights = pack_lights(self._lights, area_tris)
         world_lo = tri_lo.min(axis=0)
         world_hi = tri_hi.max(axis=0)
         radius = 0.5 * float(np.linalg.norm(world_hi - world_lo))
 
-        n_lights = int(lights.light_type.shape[0]) if (self._lights or area_tris) else 0
+        lights = pack_lights(
+            self._lights, area_tris, scene_radius=max(radius, 1e-3),
+            sampler=self._light_sampler,
+        )
+        n_lights = lights.n_flat
 
         return SceneData(
             bvh=bvh,
@@ -167,10 +231,17 @@ class Scene:
             n2=jnp.asarray(n2[order]),
             uv0=jnp.asarray(uv0[order]), uv1=jnp.asarray(uv1[order]),
             uv2=jnp.asarray(uv2[order]),
+            c0=jnp.asarray(c0[order]), c1=jnp.asarray(c1[order]),
+            c2=jnp.asarray(c2[order]),
             mat_type=jnp.asarray(face_type[order]),
             mat_idx=jnp.asarray(face_idx[order]),
             arealight_idx=jnp.asarray(arealight_idx[order]),
+            inside_medium=jnp.asarray(inside_of_face[order]),
+            outside_medium=jnp.asarray(outside_of_face[order]),
             materials=banks,
+            atlas=atlas_builder.build(),
+            media=pack_media(self._media),
+            camera_medium=jnp.int32(self._camera_medium),
             lights=lights,
             rgb2spec=srgb_table(),
             world_lo=jnp.asarray(world_lo),
@@ -179,4 +250,5 @@ class Scene:
             present_materials=tuple(sorted(present)),
             n_lights=n_lights,
             n_faces=int(len(p0)),
+            has_media=len(self._media) > 0,
         )
