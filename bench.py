@@ -63,8 +63,11 @@ def main():
     from hikari_tpu.film.filters import make_filter
     from hikari_tpu.integrators.volpath import VolPath, render_lanes
 
+    import os
+
     scene = build_scene()
-    res = (800, 800)
+    r = int(os.environ.get("BENCH_RES", "800"))
+    res = (r, r)
     camera = make_perspective_camera(
         (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
     )
@@ -85,7 +88,7 @@ def main():
     checksum, rays_per_sample = step(jnp.uint32(0))
     checksum.block_until_ready()
 
-    n_iters = 8
+    n_iters = int(os.environ.get("BENCH_ITERS", "8"))
     t0 = time.perf_counter()
     total_rays = 0.0
     acc = None

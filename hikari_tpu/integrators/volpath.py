@@ -49,6 +49,35 @@ from ..spectral.cie import spectral_to_xyz, xyz_to_linear_srgb
 MAX_INTERFACE_CROSSINGS = 8  # shadow-ray boundary chain cap (reference: 10)
 
 
+def scene_closest_hit(scene: SceneData, o, d, t_max, active=None):
+    """Dispatch to the scene's traversal engine (static choice)."""
+    if scene.traversal == "skiplink":
+        if active is not None:
+            t_max = jnp.where(active, t_max, 0.0)
+        return closest_hit(scene.bvh, o, d, t_max)
+    from ..geometry.wavefront import closest_hit_packets
+
+    return closest_hit_packets(
+        scene.treelets, o, d, t_max, scene.world_lo, scene.world_hi,
+        interpret=scene.traversal == "packets_interp", active=active,
+    )
+
+
+def scene_any_hit(scene: SceneData, o, d, t_max, active=None):
+    if scene.traversal == "skiplink":
+        from ..geometry.traverse import any_hit
+
+        if active is not None:
+            t_max = jnp.where(active, t_max, 0.0)
+        return any_hit(scene.bvh, o, d, t_max)
+    from ..geometry.wavefront import any_hit_packets
+
+    return any_hit_packets(
+        scene.treelets, o, d, t_max, scene.world_lo, scene.world_hi,
+        interpret=scene.traversal == "packets_interp", active=active,
+    )
+
+
 @dataclass(frozen=True)
 class VolPath:
     """Config mirrors the reference's keyword set (volpath.jl:75-101)."""
@@ -91,20 +120,54 @@ def _sample_bsdf_dispatch(
     if mt.MIRROR in present:
         out = merge(out, mb.sample_mirror(banks, mat_idx, table, wo, lam, u2, uc, tex), mt.MIRROR)
     if mt.GLASS in present:
-        out = merge(out, mb.sample_glass(banks, mat_idx, table, wo, lam, u2, uc, tex), mt.GLASS)
+        out = merge(
+            out,
+            mb.sample_glass(banks, mat_idx, table, wo, lam, u2, uc, tex, regularize),
+            mt.GLASS,
+        )
     if mt.CONDUCTOR in present:
         out = merge(
             out,
             mb.sample_conductor(banks, mat_idx, table, wo, lam, u2, uc, regularize, tex),
             mt.CONDUCTOR,
         )
+    if mt.THIN_DIELECTRIC in present:
+        out = merge(
+            out,
+            mb.sample_thin_dielectric(banks, mat_idx, table, wo, lam, u2, uc, tex),
+            mt.THIN_DIELECTRIC,
+        )
+    if mt.DIFFUSE_TRANSMISSION in present:
+        out = merge(
+            out,
+            mb.sample_diffuse_transmission(banks, mat_idx, table, wo, lam, u2, uc, tex),
+            mt.DIFFUSE_TRANSMISSION,
+        )
+    if mt.COATED_DIFFUSE in present:
+        from ..materials import layered as ml
+
+        out = merge(
+            out,
+            ml.sample_coated_diffuse(banks, mat_idx, table, wo, lam, u2, uc, tex),
+            mt.COATED_DIFFUSE,
+        )
+    if mt.COATED_CONDUCTOR in present:
+        from ..materials import layered as ml
+
+        out = merge(
+            out,
+            ml.sample_coated_conductor(banks, mat_idx, table, wo, lam, u2, uc, tex),
+            mt.COATED_CONDUCTOR,
+        )
     return out
 
 
 def _eval_bsdf_dispatch(
-    scene: SceneData, mat_type, mat_idx, wo, wi, lam, regularize, tex=None
+    scene: SceneData, mat_type, mat_idx, wo, wi, lam, regularize, tex=None,
+    eval_u2=None, eval_uc=None,
 ):
-    """(f, pdf) for NEE MIS; zero for specular-only materials."""
+    """(f, pdf) for NEE MIS; zero for specular-only materials. eval_u2 /
+    eval_uc drive the stochastic layered-material evaluation."""
     table = scene.rgb2spec
     banks = scene.materials
     f = jnp.zeros(lam.shape, jnp.float32)
@@ -120,6 +183,35 @@ def _eval_bsdf_dispatch(
         m = mat_type == mt.CONDUCTOR
         f = jnp.where(m[..., None], fc, f)
         pdf = jnp.where(m, pc, pdf)
+    if mt.GLASS in present:
+        fg, pg = mb.eval_glass(banks, mat_idx, table, wo, wi, lam, regularize, tex)
+        m = mat_type == mt.GLASS
+        f = jnp.where(m[..., None], fg, f)
+        pdf = jnp.where(m, pg, pdf)
+    if mt.DIFFUSE_TRANSMISSION in present:
+        fd, pd = mb.eval_diffuse_transmission(banks, mat_idx, table, wo, wi, lam, tex)
+        m = mat_type == mt.DIFFUSE_TRANSMISSION
+        f = jnp.where(m[..., None], fd, f)
+        pdf = jnp.where(m, pd, pdf)
+    if eval_u2 is not None and (
+        mt.COATED_DIFFUSE in present or mt.COATED_CONDUCTOR in present
+    ):
+        from ..materials import layered as ml
+
+        if mt.COATED_DIFFUSE in present:
+            fc_, pc_ = ml.eval_coated_diffuse(
+                banks, mat_idx, table, wo, wi, lam, eval_u2, eval_uc, tex
+            )
+            m = mat_type == mt.COATED_DIFFUSE
+            f = jnp.where(m[..., None], fc_, f)
+            pdf = jnp.where(m, pc_, pdf)
+        if mt.COATED_CONDUCTOR in present:
+            fc_, pc_ = ml.eval_coated_conductor(
+                banks, mat_idx, table, wo, wi, lam, eval_u2, eval_uc, tex
+            )
+            m = mat_type == mt.COATED_CONDUCTOR
+            f = jnp.where(m[..., None], fc_, f)
+            pdf = jnp.where(m, pc_, pdf)
     return f, pdf
 
 
@@ -140,9 +232,33 @@ def _surface_data(scene: SceneData, rec, o, d):
     ng = face_forward(ng_raw, ns)
     uv = interpolate(rec.b1, rec.b2, scene.uv0[tri], scene.uv1[tri], scene.uv2[tri])
     vcol = interpolate(rec.b1, rec.b2, scene.c0[tri], scene.c1[tri], scene.c2[tri])
+
+    mat_type = scene.mat_type[tri]
+    mat_idx = scene.mat_idx[tri]
+    if mt.MIX in scene.present_materials:
+        # resolve Mix to a concrete child with a deterministic hash of the
+        # hit point (mix-material.jl:39-57): stable across samples so the
+        # material never flickers
+        from ..sampling.hashes import hash_u32x2
+
+        b = scene.materials
+        is_mix = mat_type == mt.MIX
+        mi = jnp.maximum(mat_idx, 0)
+        hx = jax.lax.bitcast_convert_type(rec.b1 + 0.123, jnp.uint32)
+        hy = jax.lax.bitcast_convert_type(rec.b2 + 0.456, jnp.uint32)
+        h = hash_u32x2(hx ^ tri.astype(jnp.uint32), hy)
+        from ..sampling import u64 as u64m
+
+        u_mix = u64m.to_u32(u64m.shr(h, 32)).astype(jnp.float32) * jnp.float32(2.3283064e-10)
+        use1 = u_mix < b.mix_amount[mi]
+        child_t = jnp.where(use1, b.mix_m1_type[mi], b.mix_m2_type[mi])
+        child_i = jnp.where(use1, b.mix_m1_idx[mi], b.mix_m2_idx[mi])
+        mat_type = jnp.where(is_mix, child_t, mat_type)
+        mat_idx = jnp.where(is_mix, child_i, mat_idx)
+
     return dict(
         tri=tri, p=p_hit, ng=ng, ng_raw=ng_raw, ns=ns,
-        mat_type=scene.mat_type[tri], mat_idx=scene.mat_idx[tri],
+        mat_type=mat_type, mat_idx=mat_idx,
         arealight=scene.arealight_idx[tri],
         inside_med=scene.inside_medium[tri], outside_med=scene.outside_medium[tri],
         tex=(scene.atlas, TexCtx(uv=uv, vcolor=vcol)),
@@ -169,7 +285,7 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
     ones4 = 1.0 + jnp.zeros_like(lam)
     if not scene.has_media and mt.INTERFACE not in scene.present_materials:
         # fast path: plain occlusion test
-        occluded = any_hit(scene.bvh, o_sh, wi, t_max)
+        occluded = scene_any_hit(scene, o_sh, wi, t_max, active=active)
         T_ray = jnp.where(occluded[..., None], 0.0, ones4)
         return T_ray, ones4, ones4
 
@@ -182,7 +298,7 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
     med = medium_sh
 
     for _ in range(MAX_INTERFACE_CROSSINGS):
-        rec = closest_hit(scene.bvh, o_cur, wi, t_rem)
+        rec = scene_closest_hit(scene, o_cur, wi, t_rem, active=running)
         seg_t = jnp.where(rec.hit, rec.t, t_rem)
 
         if scene.has_media:
@@ -214,6 +330,73 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
         running = crossing & (t_rem > 0.0)
 
     return T_ray, r_l_m, r_u_m
+
+
+def _albedo_rgb_dispatch(scene: SceneData, mat_type, mat_idx, tex):
+    """Approximate RGB surface albedo per lane (get_albedo_spectral analog,
+    spectral-eval.jl) for the denoiser aux buffers."""
+    b = scene.materials
+    idx = jnp.maximum(mat_idx, 0)
+    out = jnp.full(mat_type.shape + (3,), 0.5, jnp.float32)
+    present = scene.present_materials
+
+    def put(tag, rgb):
+        nonlocal out
+        out = jnp.where((mat_type == tag)[..., None], rgb, out)
+
+    if mt.MATTE in present:
+        put(mt.MATTE, mb._tex_rgb(b.matte_kd, b.matte_kd_tex, idx, tex))
+    if mt.MIRROR in present:
+        put(mt.MIRROR, mb._tex_rgb(b.mirror_kr, b.mirror_kr_tex, idx, tex))
+    if mt.GLASS in present:
+        put(mt.GLASS, jnp.ones(mat_type.shape + (3,), jnp.float32))
+    if mt.CONDUCTOR in present:
+        # normal-incidence Fresnel at ~(610, 550, 465) nm
+        li = jnp.asarray([250, 190, 105], jnp.int32)  # offsets from 360nm
+        eta = b.cond_eta[idx][..., li]
+        k = b.cond_k[idx][..., li]
+        r0 = ((eta - 1.0) ** 2 + k * k) / ((eta + 1.0) ** 2 + k * k)
+        put(mt.CONDUCTOR, r0)
+    if mt.COATED_DIFFUSE in present:
+        put(mt.COATED_DIFFUSE, mb._tex_rgb(b.cd_refl, b.cd_refl_tex, idx, tex))
+    if mt.DIFFUSE_TRANSMISSION in present:
+        put(
+            mt.DIFFUSE_TRANSMISSION,
+            mb._tex_rgb(b.dt_refl, b.dt_refl_tex, idx, tex)
+            + mb._tex_rgb(b.dt_trans, b.dt_trans_tex, idx, tex),
+        )
+    if mt.EMISSIVE in present:
+        put(mt.EMISSIVE, mb._tex_rgb(b.emissive_le, b.emissive_le_tex, idx, tex))
+    return out
+
+
+@partial(jax.jit, static_argnums=())
+def render_aux(scene: SceneData, camera: PerspectiveCamera):
+    """Primary-visibility pass for the denoiser: (albedo, normal, depth)
+    images (fill_aux_buffers!, film.jl:410-483)."""
+    w, h = camera.resolution
+    n = w * h
+    lanes = jnp.arange(n, dtype=jnp.uint32)
+    px = lanes % w
+    py = lanes // w
+    p_film = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)], -1) + 0.5
+    o, d = camera.generate_rays(
+        CameraSample(
+            p_film=p_film, lens=jnp.zeros((n, 2)), time=jnp.zeros((n,)),
+            filter_weight=jnp.ones((n,)),
+        )
+    )
+    t_max = jnp.full((n,), jnp.inf)
+    rec = scene_closest_hit(scene, o, d, t_max)
+    sd = _surface_data(scene, rec, o, d)
+    albedo = _albedo_rgb_dispatch(scene, sd["mat_type"], sd["mat_idx"], sd["tex"])
+    hit = rec.hit
+    albedo = jnp.where(hit[..., None], albedo, 0.0)
+    normal = jnp.where(hit[..., None], sd["ns"], 0.0)
+    depth = jnp.where(hit, rec.t, 0.0)
+    return (
+        albedo.reshape(h, w, 3), normal.reshape(h, w, 3), depth.reshape(h, w)
+    )
 
 
 # --- the per-sample render step ------------------------------------------------
@@ -295,7 +478,7 @@ def render_lanes(
 
         t_max = jnp.full((n,), jnp.inf, jnp.float32) + zero
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        rec = closest_hit(scene.bvh, o, d, t_max)
+        rec = scene_closest_hit(scene, o, d, t_max, active=alive)
         t_hit = jnp.where(rec.hit, rec.t, t_max)
 
         # --- volumetric segment: delta tracking up to the surface
@@ -391,8 +574,11 @@ def render_lanes(
             wo_l = to_local(t, b, nrm, wo)
             wi_l = to_local(t, b, nrm, ls.wi)
             reg = any_nonspec if vp.regularize else None
+            u2e = jnp.stack(sb.path_sample_2d(zcfg, px, py, si, depth, 7), -1)
+            uce = sb.path_sample_1d(zcfg, px, py, si, depth, 9)
             f_s, pdf_s = _eval_bsdf_dispatch(
-                scene, sd["mat_type"], sd["mat_idx"], wo_l, wi_l, lam, reg, sd["tex"]
+                scene, sd["mat_type"], sd["mat_idx"], wo_l, wi_l, lam, reg,
+                sd["tex"], u2e, uce,
             )
             f_hat_s = f_s * jnp.abs(wi_l[..., 2])[..., None]
             # medium lanes: phase function value (= its pdf)

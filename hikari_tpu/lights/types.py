@@ -60,6 +60,20 @@ class DistantLight:
 
 
 @dataclass
+class SunLight:
+    """Delta directional sun (sun.jl:7-50). angular_diameter/corona_falloff
+    are carried for API parity with the reference (which also declares but
+    does not consume them in its integrators); transport-wise a SunLight is
+    a DistantLight."""
+
+    direction: tuple = (0.0, -1.0, 0.0)  # direction light travels
+    radiance: tuple = (1.0, 1.0, 1.0)
+    scale: float = 1.0
+    angular_diameter: float = 0.00933
+    corona_falloff: float = 8.0
+
+
+@dataclass
 class AmbientLight:
     radiance: tuple = (0.1, 0.1, 0.1)
     scale: float = 1.0
@@ -188,7 +202,7 @@ def pack_lights(
             si.append(np.asarray(l.intensity) * l.scale)
             sct.append(np.cos(np.deg2rad(l.cone_angle_deg)))
             scf.append(np.cos(np.deg2rad(l.falloff_start_deg)))
-        elif isinstance(l, DistantLight):
+        elif isinstance(l, (DistantLight, SunLight)):
             dd.append(np.asarray(l.direction) / np.linalg.norm(l.direction))
             dl.append(np.asarray(l.radiance) * l.scale)
         elif isinstance(l, AmbientLight):

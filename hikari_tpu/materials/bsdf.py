@@ -162,10 +162,20 @@ def sample_mirror(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
     )
 
 
-# --- Glass: smooth dielectric (spectral-eval.jl Glass, pbrt DielectricBxDF) ---
+# --- Glass: dielectric, smooth + rough microfacet ------------------------------
+# (spectral-eval.jl Glass; pbrt DielectricBxDF with TR distribution)
 
 
-def sample_glass(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
+def _glass_alpha(banks, idx, regularize, tex):
+    ax = _tex_alpha(banks.glass_ax[idx], banks.glass_rough_tex, idx, tex)
+    ay = _tex_alpha(banks.glass_ay[idx], banks.glass_rough_tex, idx, tex)
+    if regularize is not None:
+        ax = jnp.where(regularize, regularize_alpha(ax), ax)
+        ay = jnp.where(regularize, regularize_alpha(ay), ay)
+    return ax, ay
+
+
+def sample_glass(banks, idx, table, wo, lam, u2, uc, tex=None, regularize=None) -> BSDFSample:
     kr = rgb_albedo_eval(
         table, jnp.clip(_tex_rgb(banks.glass_kr, banks.glass_kr_tex, idx, tex), 0.0, 1.0), lam
     )
@@ -173,36 +183,336 @@ def sample_glass(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
         table, jnp.clip(_tex_rgb(banks.glass_kt, banks.glass_kt_tex, idx, tex), 0.0, 1.0), lam
     )
     eta = banks.glass_eta[idx]
+    ax, ay = _glass_alpha(banks, idx, regularize, tex)
+    smooth = effectively_smooth(ax, ay)
 
     cos_o = wo[..., 2]
-    fr = fresnel_dielectric(cos_o, eta)
+    eta_p = jnp.where(cos_o > 0.0, eta, 1.0 / eta)
 
-    # reflect branch
-    wi_r = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
-    # transmit branch: refract about +z oriented normal
+    # ---- smooth branch (delta lobes)
+    fr_s = fresnel_dielectric(cos_o, eta)
+    wi_rs = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
     n = jnp.zeros_like(wo).at[..., 2].set(1.0)
     n = jnp.where(cos_o[..., None] < 0.0, -n, n)
-    eta_p = jnp.where(cos_o > 0.0, eta, 1.0 / eta)
-    ok_t, wi_t = refract(wo, n, eta_p)
+    ok_ts, wi_ts = refract(wo, n, eta_p)
 
+    # ---- rough branch: sample a visible microfacet normal
+    wm = tr_sample_wm(wo, u2, ax, ay)
+    dot_om = jnp.sum(wo * wm, -1)
+    fr_m = fresnel_dielectric(dot_om, eta)
+    # reflect off wm
+    wi_rm = reflect(wo, wm)
+    ok_rm = same_hemisphere(wo, wi_rm)
+    # refract about wm oriented toward wo
+    wm_o = jnp.where(dot_om[..., None] < 0.0, -wm, wm)
+    ok_tm, wi_tm = refract(wo, wm_o, eta_p)
+    ok_tm = ok_tm & ~same_hemisphere(wo, wi_tm)
+
+    fr = jnp.where(smooth, fr_s, fr_m)
     choose_r = uc < fr
-    wi = jnp.where(choose_r[..., None], wi_r, wi_t)
-    cos_i = jnp.maximum(abs_cos_theta(wi), 1e-6)
 
-    f_r = kr * (fr / cos_i)[..., None]
-    # radiance transport carries 1/eta'^2 compression (pbrt 9.5.2)
-    f_t = kt * ((1.0 - fr) / cos_i / (eta_p * eta_p))[..., None]
-    f = jnp.where(choose_r[..., None], f_r, f_t)
-    pdf = jnp.where(choose_r, fr, 1.0 - fr)
-    valid = (jnp.abs(cos_o) > 1e-6) & (choose_r | ok_t) & (pdf > 0.0)
-    shape = pdf.shape
+    wi = jnp.where(
+        smooth[..., None],
+        jnp.where(choose_r[..., None], wi_rs, wi_ts),
+        jnp.where(choose_r[..., None], wi_rm, wi_tm),
+    )
+    cos_i = jnp.maximum(abs_cos_theta(wi), 1e-6)
+    cos_oa = jnp.maximum(jnp.abs(cos_o), 1e-6)
+
+    # smooth f/pdf
+    f_rs = kr * (fr_s / cos_i)[..., None]
+    f_ts = kt * ((1.0 - fr_s) / cos_i / (eta_p * eta_p))[..., None]
+    pdf_s = jnp.where(choose_r, fr_s, 1.0 - fr_s)
+
+    # rough f/pdf (pbrt 9.34-9.40): reflect part
+    d = tr_d(wm, ax, ay)
+    g = tr_g(wo, wi, ax, ay)
+    abs_dot_om = jnp.maximum(jnp.abs(dot_om), 1e-8)
+    f_rm = kr * (d * g * fr_m / (4.0 * cos_oa * cos_i))[..., None]
+    pdf_rm = tr_pdf(wo, wm, ax, ay) / (4.0 * abs_dot_om) * fr_m
+    # transmit part: generalized Jacobian
+    dot_im = jnp.sum(wi * wm, -1)
+    denom_t = (dot_im + dot_om / eta_p) ** 2
+    dwm_dwi = jnp.abs(dot_im) / jnp.maximum(denom_t, 1e-12)
+    ft_scale = (
+        d * g * (1.0 - fr_m)
+        * jnp.abs(dot_im * dot_om / jnp.maximum(cos_i * cos_oa * denom_t, 1e-12))
+        / (eta_p * eta_p)
+    )
+    f_tm = kt * ft_scale[..., None]
+    pdf_tm = tr_pdf(wo, wm, ax, ay) * dwm_dwi * (1.0 - fr_m)
+
+    f = jnp.where(
+        smooth[..., None],
+        jnp.where(choose_r[..., None], f_rs, f_ts),
+        jnp.where(choose_r[..., None], f_rm, f_tm),
+    )
+    pdf = jnp.where(smooth, pdf_s, jnp.where(choose_r, pdf_rm, pdf_tm))
+    ok_branch = jnp.where(
+        smooth,
+        choose_r | ok_ts,
+        jnp.where(choose_r, ok_rm, ok_tm),
+    )
+    valid = (jnp.abs(cos_o) > 1e-6) & ok_branch & (pdf > 1e-12)
     return BSDFSample(
         wi=wi, f=f, pdf=pdf,
-        specular=jnp.ones(shape, bool),
+        specular=smooth,
         transmission=~choose_r,
         eta_scale=jnp.where(choose_r, 1.0, eta_p * eta_p),
         valid=valid,
     )
+
+
+def eval_glass(banks, idx, table, wo, wi, lam, regularize=None, tex=None):
+    """(f, pdf) of the rough-dielectric lobe for NEE MIS; zero when the
+    surface is effectively smooth (delta lobes carry no NEE weight)."""
+    kr = rgb_albedo_eval(
+        table, jnp.clip(_tex_rgb(banks.glass_kr, banks.glass_kr_tex, idx, tex), 0.0, 1.0), lam
+    )
+    kt = rgb_albedo_eval(
+        table, jnp.clip(_tex_rgb(banks.glass_kt, banks.glass_kt_tex, idx, tex), 0.0, 1.0), lam
+    )
+    eta = banks.glass_eta[idx]
+    ax, ay = _glass_alpha(banks, idx, regularize, tex)
+    smooth = effectively_smooth(ax, ay)
+
+    cos_o = wo[..., 2]
+    cos_i = wi[..., 2]
+    is_reflect = cos_o * cos_i > 0.0
+    eta_p = jnp.where(is_reflect, 1.0, jnp.where(cos_o > 0.0, eta, 1.0 / eta))
+
+    # generalized half-vector (pbrt 9.35)
+    wm_raw = wi * eta_p[..., None] + wo
+    wm_len = jnp.linalg.norm(wm_raw, axis=-1, keepdims=True)
+    wm = wm_raw / jnp.maximum(wm_len, 1e-12)
+    wm = jnp.where(wm[..., 2:3] < 0.0, -wm, wm)
+    dot_om = jnp.sum(wo * wm, -1)
+    dot_im = jnp.sum(wi * wm, -1)
+    # microfacet back-face test
+    backface = (dot_im * cos_i < 0.0) | (dot_om * cos_o < 0.0)
+
+    fr = fresnel_dielectric(dot_om, eta)
+    d = tr_d(wm, ax, ay)
+    g = tr_g(wo, wi, ax, ay)
+    cos_oa = jnp.maximum(jnp.abs(cos_o), 1e-6)
+    cos_ia = jnp.maximum(jnp.abs(cos_i), 1e-6)
+    abs_dot_om = jnp.maximum(jnp.abs(dot_om), 1e-8)
+
+    f_r = kr * (d * g * fr / (4.0 * cos_oa * cos_ia))[..., None]
+    pdf_r = tr_pdf(wo, wm, ax, ay) / (4.0 * abs_dot_om) * fr
+
+    denom_t = (dot_im + dot_om / eta_p) ** 2
+    dwm_dwi = jnp.abs(dot_im) / jnp.maximum(denom_t, 1e-12)
+    ft_scale = (
+        d * g * (1.0 - fr)
+        * jnp.abs(dot_im * dot_om / jnp.maximum(cos_ia * cos_oa * denom_t, 1e-12))
+        / (eta_p * eta_p)
+    )
+    f_t = kt * ft_scale[..., None]
+    pdf_t = tr_pdf(wo, wm, ax, ay) * dwm_dwi * (1.0 - fr)
+
+    f = jnp.where(is_reflect[..., None], f_r, f_t)
+    pdf = jnp.where(is_reflect, pdf_r, pdf_t)
+    ok = (
+        ~smooth & ~backface & (wm_len[..., 0] > 1e-9)
+        & (jnp.abs(cos_o) > 1e-6) & (jnp.abs(cos_i) > 1e-6)
+    )
+    return jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+# --- bare dielectric interface (shared by glass and the layered walk) ----------
+
+
+def dielectric_interface_sample(wo, eta, ax, ay, u2, uc):
+    """Sample the colorless dielectric interface (smooth or rough).
+
+    Returns dict(wi, weight (scalar f*cos/pdf), pdf, is_trans, specular,
+    valid). Used standalone by the LayeredBxDF random walk
+    (spectral-eval.jl:827+)."""
+    smooth = effectively_smooth(ax, ay)
+    cos_o = wo[..., 2]
+    eta_p = jnp.where(cos_o > 0.0, eta, 1.0 / eta)
+
+    # smooth
+    fr_s = fresnel_dielectric(cos_o, eta)
+    wi_rs = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    n = jnp.zeros_like(wo).at[..., 2].set(1.0)
+    n = jnp.where(cos_o[..., None] < 0.0, -n, n)
+    ok_ts, wi_ts = refract(wo, n, eta_p)
+
+    # rough
+    wm = tr_sample_wm(wo, u2, ax, ay)
+    dot_om = jnp.sum(wo * wm, -1)
+    fr_m = fresnel_dielectric(dot_om, eta)
+    wi_rm = reflect(wo, wm)
+    ok_rm = same_hemisphere(wo, wi_rm)
+    wm_o = jnp.where(dot_om[..., None] < 0.0, -wm, wm)
+    ok_tm, wi_tm = refract(wo, wm_o, eta_p)
+    ok_tm = ok_tm & ~same_hemisphere(wo, wi_tm)
+
+    fr = jnp.where(smooth, fr_s, fr_m)
+    choose_r = uc < fr
+    wi = jnp.where(
+        smooth[..., None],
+        jnp.where(choose_r[..., None], wi_rs, wi_ts),
+        jnp.where(choose_r[..., None], wi_rm, wi_tm),
+    )
+    cos_i = jnp.maximum(abs_cos_theta(wi), 1e-6)
+    cos_oa = jnp.maximum(jnp.abs(cos_o), 1e-6)
+
+    # weight = f*cos/pdf. Smooth: 1 (radiance compression handled by caller
+    # only when crossing into a different eta; inside the layered walk the
+    # ray re-exits so eta_scale cancels). Rough: G2/G1 style weight.
+    d = tr_d(wm, ax, ay)
+    g = tr_g(wo, wi, ax, ay)
+    abs_dot_om = jnp.maximum(jnp.abs(dot_om), 1e-8)
+    pdf_rm = tr_pdf(wo, wm, ax, ay) / (4.0 * abs_dot_om) * fr_m
+    w_rm = jnp.where(
+        pdf_rm > 1e-12,
+        (d * g * fr_m / (4.0 * cos_oa * cos_i)) * cos_i / jnp.maximum(pdf_rm, 1e-12),
+        0.0,
+    )
+    dot_im = jnp.sum(wi * wm, -1)
+    denom_t = (dot_im + dot_om / eta_p) ** 2
+    dwm_dwi = jnp.abs(dot_im) / jnp.maximum(denom_t, 1e-12)
+    pdf_tm = tr_pdf(wo, wm, ax, ay) * dwm_dwi * (1.0 - fr_m)
+    ft = (
+        d * g * (1.0 - fr_m)
+        * jnp.abs(dot_im * dot_om / jnp.maximum(cos_i * cos_oa * denom_t, 1e-12))
+        / (eta_p * eta_p)
+    )
+    w_tm = jnp.where(pdf_tm > 1e-12, ft * cos_i / jnp.maximum(pdf_tm, 1e-12), 0.0)
+
+    weight = jnp.where(
+        smooth, 1.0, jnp.where(choose_r, w_rm, w_tm)
+    )
+    # the walk re-crosses the interface, so undo radiance compression for
+    # rough transmission the same way (keeps reciprocity inside the slab)
+    weight = jnp.where(~smooth & ~choose_r, weight * eta_p * eta_p, weight)
+    pdf = jnp.where(
+        smooth, jnp.where(choose_r, fr_s, 1.0 - fr_s),
+        jnp.where(choose_r, pdf_rm, pdf_tm),
+    )
+    ok = jnp.where(
+        smooth, choose_r | ok_ts, jnp.where(choose_r, ok_rm, ok_tm)
+    )
+    return dict(
+        wi=wi, weight=weight, pdf=pdf, is_trans=~choose_r,
+        specular=smooth, valid=ok & (jnp.abs(cos_o) > 1e-6),
+    )
+
+
+def dielectric_interface_f(wo, wi, eta, ax, ay):
+    """(f, pdf) of the rough interface; zero when effectively smooth."""
+    smooth = effectively_smooth(ax, ay)
+    cos_o = wo[..., 2]
+    cos_i = wi[..., 2]
+    is_reflect = cos_o * cos_i > 0.0
+    eta_p = jnp.where(is_reflect, 1.0, jnp.where(cos_o > 0.0, eta, 1.0 / eta))
+    wm_raw = wi * eta_p[..., None] + wo
+    wm_len = jnp.linalg.norm(wm_raw, axis=-1, keepdims=True)
+    wm = wm_raw / jnp.maximum(wm_len, 1e-12)
+    wm = jnp.where(wm[..., 2:3] < 0.0, -wm, wm)
+    dot_om = jnp.sum(wo * wm, -1)
+    dot_im = jnp.sum(wi * wm, -1)
+    backface = (dot_im * cos_i < 0.0) | (dot_om * cos_o < 0.0)
+    fr = fresnel_dielectric(dot_om, eta)
+    d = tr_d(wm, ax, ay)
+    g = tr_g(wo, wi, ax, ay)
+    cos_oa = jnp.maximum(jnp.abs(cos_o), 1e-6)
+    cos_ia = jnp.maximum(jnp.abs(cos_i), 1e-6)
+    f_r = d * g * fr / (4.0 * cos_oa * cos_ia)
+    pdf_r = tr_pdf(wo, wm, ax, ay) / (4.0 * jnp.maximum(jnp.abs(dot_om), 1e-8)) * fr
+    denom_t = (dot_im + dot_om / eta_p) ** 2
+    f_t = (
+        d * g * (1.0 - fr)
+        * jnp.abs(dot_im * dot_om / jnp.maximum(cos_ia * cos_oa * denom_t, 1e-12))
+    )
+    pdf_t = (
+        tr_pdf(wo, wm, ax, ay)
+        * jnp.abs(dot_im) / jnp.maximum(denom_t, 1e-12) * (1.0 - fr)
+    )
+    f = jnp.where(is_reflect, f_r, f_t)
+    pdf = jnp.where(is_reflect, pdf_r, pdf_t)
+    ok = ~smooth & ~backface & (wm_len[..., 0] > 1e-9)
+    return jnp.where(ok, f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+# --- ThinDielectric (thin-dielectric.jl:45; pbrt ThinDielectricBxDF) -----------
+
+
+def sample_thin_dielectric(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
+    kr = rgb_albedo_eval(table, jnp.clip(banks.thin_kr[idx], 0.0, 1.0), lam)
+    kt = rgb_albedo_eval(table, jnp.clip(banks.thin_kt[idx], 0.0, 1.0), lam)
+    eta = banks.thin_eta[idx]
+    cos_o = wo[..., 2]
+
+    r0 = fresnel_dielectric(jnp.abs(cos_o), eta)
+    # account for interreflection inside the slab: R' = 2R/(1+R)
+    r = jnp.where(r0 < 1.0, 2.0 * r0 / (1.0 + r0), 1.0)
+    t = 1.0 - r
+
+    choose_r = uc < r
+    wi_r = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    wi_t = -wo  # straight through, no bending
+    wi = jnp.where(choose_r[..., None], wi_r, wi_t)
+    cos_i = jnp.maximum(abs_cos_theta(wi), 1e-6)
+
+    f = jnp.where(
+        choose_r[..., None], kr * (r / cos_i)[..., None], kt * (t / cos_i)[..., None]
+    )
+    pdf = jnp.where(choose_r, r, t)
+    shape = pdf.shape
+    return BSDFSample(
+        wi=wi, f=f, pdf=pdf,
+        specular=jnp.ones(shape, bool),
+        # both slab interfaces are crossed: the ray ends in the SAME medium,
+        # so this is not a medium transition
+        transmission=jnp.zeros(shape, bool),
+        eta_scale=jnp.ones(shape, jnp.float32),
+        valid=(jnp.abs(cos_o) > 1e-6) & (pdf > 1e-9),
+    )
+
+
+# --- DiffuseTransmission (diffuse-transmission.jl:39) ---------------------------
+
+
+def _dt_albedos(banks, idx, table, lam, tex):
+    r_rgb = _tex_rgb(banks.dt_refl, banks.dt_refl_tex, idx, tex)
+    t_rgb = _tex_rgb(banks.dt_trans, banks.dt_trans_tex, idx, tex)
+    r = rgb_albedo_eval(table, jnp.clip(r_rgb, 0.0, 1.0), lam)
+    t = rgb_albedo_eval(table, jnp.clip(t_rgb, 0.0, 1.0), lam)
+    pr = jnp.maximum(jnp.max(r, -1), 1e-9)
+    pt = jnp.maximum(jnp.max(t, -1), 0.0)
+    return r, t, pr / (pr + pt)
+
+
+def sample_diffuse_transmission(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
+    r, t, p_refl = _dt_albedos(banks, idx, table, lam, tex)
+    choose_r = uc < p_refl
+    wi = cosine_sample_hemisphere(u2)
+    # reflect stays on wo's side; transmit flips
+    side = jnp.where(choose_r, jnp.sign(wo[..., 2]), -jnp.sign(wo[..., 2]))
+    wi = wi * jnp.stack([jnp.ones_like(side), jnp.ones_like(side), side], -1)
+    cos_i = abs_cos_theta(wi)
+    f = jnp.where(choose_r[..., None], r, t) * INV_PI
+    pdf = cos_i * INV_PI * jnp.where(choose_r, p_refl, 1.0 - p_refl)
+    shape = pdf.shape
+    return BSDFSample(
+        wi=wi, f=f, pdf=pdf,
+        specular=jnp.zeros(shape, bool),
+        transmission=~choose_r,
+        eta_scale=jnp.ones(shape, jnp.float32),
+        valid=(pdf > 1e-9) & (jnp.abs(wo[..., 2]) > 1e-6),
+    )
+
+
+def eval_diffuse_transmission(banks, idx, table, wo, wi, lam, tex=None):
+    r, t, p_refl = _dt_albedos(banks, idx, table, lam, tex)
+    same = same_hemisphere(wo, wi)
+    f = jnp.where(same[..., None], r, t) * INV_PI
+    pdf = abs_cos_theta(wi) * INV_PI * jnp.where(same, p_refl, 1.0 - p_refl)
+    return f, pdf
 
 
 # --- Conductor (spectral-eval.jl Conductor, pbrt ConductorBxDF) ---------------

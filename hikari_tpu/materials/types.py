@@ -27,7 +27,12 @@ GLASS = 2
 CONDUCTOR = 3
 EMISSIVE = 4
 INTERFACE = 5  # no BSDF: pure medium boundary (MediumInterface with no material)
-N_MATERIAL_TYPES = 6
+THIN_DIELECTRIC = 6
+DIFFUSE_TRANSMISSION = 7
+MIX = 8        # resolved to a concrete child at intersection time
+COATED_DIFFUSE = 9
+COATED_CONDUCTOR = 10
+N_MATERIAL_TYPES = 11
 
 _LAM_GRID = np.arange(360.0, 831.0, dtype=np.float64)  # 471 samples
 
@@ -100,6 +105,77 @@ class Interface:
 
 
 @dataclass
+class ThinDielectric:
+    """Thin glass pane / bubble wall: both interfaces collapsed into one
+    surface (thin-dielectric.jl:45; pbrt ThinDielectricBxDF). Transmission
+    passes straight through without bending and without entering a medium;
+    total reflectance accounts for interreflection: R' = 2R/(1+R)."""
+
+    kr: tuple = (1.0, 1.0, 1.0)
+    kt: tuple = (1.0, 1.0, 1.0)
+    eta: float = 1.5
+
+
+@dataclass
+class DiffuseTransmission:
+    """Lambertian reflection + Lambertian transmission (leaves, lampshades;
+    diffuse-transmission.jl:39; pbrt DiffuseTransmissionBxDF)."""
+
+    reflectance: tuple = (0.25, 0.25, 0.25)
+    transmittance: tuple = (0.25, 0.25, 0.25)
+
+
+@dataclass
+class CoatedDiffuse:
+    """Dielectric coating over a diffuse base (coated-diffuse.jl:32; pbrt
+    CoatedDiffuseMaterial), evaluated with the stochastic LayeredBxDF walk.
+    thickness/albedo/g describe the medium between the layers in optical
+    units."""
+
+    reflectance: object = (0.5, 0.5, 0.5)
+    roughness: float = 0.0       # coating interface roughness
+    ior: float = 1.5
+    thickness: float = 0.01
+    albedo: tuple = (0.0, 0.0, 0.0)
+    g: float = 0.0
+    remap_roughness: bool = True
+
+
+def Plastic(kd=(0.5, 0.5, 0.5), roughness=0.1, **kw):
+    """Reference PlasticMaterial = CoatedDiffuse constructor
+    (coated-diffuse.jl alias)."""
+    return CoatedDiffuse(reflectance=kd, roughness=roughness, **kw)
+
+
+@dataclass
+class CoatedConductor:
+    """Dielectric coating over a conductor (coated-conductor.jl:48; pbrt
+    CoatedConductorMaterial)."""
+
+    interface_roughness: float = 0.0
+    interface_ior: float = 1.5
+    metal: str | None = "AU"
+    eta: tuple = (0.2, 0.92, 1.1)
+    k: tuple = (3.9, 2.45, 2.14)
+    conductor_roughness: float = 0.1
+    thickness: float = 0.01
+    albedo: tuple = (0.0, 0.0, 0.0)
+    g: float = 0.0
+    remap_roughness: bool = True
+
+
+@dataclass
+class Mix:
+    """Stochastic blend of two materials, resolved to one child per
+    intersection by a deterministic hash (mix-material.jl:39-57). Children
+    may not themselves be Mix."""
+
+    m1: object = None
+    m2: object = None
+    amount: float = 0.5  # probability of choosing m1
+
+
+@dataclass
 class Emissive:
     """Area emission material (emissive.jl:30-62); faces with this material
     are registered as DiffuseAreaLights at scene build."""
@@ -147,6 +223,41 @@ class MaterialBanks:
     glass_rough_tex: jnp.ndarray  # (Ng,) int32 (scales ax/ay)
     cond_rough_tex: jnp.ndarray  # (Nc,) int32 (scales ax/ay)
     emissive_le_tex: jnp.ndarray  # (Ne,) int32
+    # thin dielectric
+    thin_kr: jnp.ndarray         # (Nt, 3)
+    thin_kt: jnp.ndarray         # (Nt, 3)
+    thin_eta: jnp.ndarray        # (Nt,)
+    # diffuse transmission
+    dt_refl: jnp.ndarray         # (Nd, 3)
+    dt_trans: jnp.ndarray        # (Nd, 3)
+    dt_refl_tex: jnp.ndarray     # (Nd,) int32
+    dt_trans_tex: jnp.ndarray    # (Nd,) int32
+    # mix: child (type, idx) pairs + blend amount
+    mix_m1_type: jnp.ndarray     # (Nx,) int32
+    mix_m1_idx: jnp.ndarray      # (Nx,) int32
+    mix_m2_type: jnp.ndarray     # (Nx,) int32
+    mix_m2_idx: jnp.ndarray      # (Nx,) int32
+    mix_amount: jnp.ndarray      # (Nx,)
+    # coated diffuse (LayeredBxDF)
+    cd_refl: jnp.ndarray         # (Ncd, 3)
+    cd_refl_tex: jnp.ndarray     # (Ncd,) int32
+    cd_ax: jnp.ndarray           # (Ncd,) coating alpha
+    cd_ay: jnp.ndarray
+    cd_eta: jnp.ndarray          # (Ncd,)
+    cd_thick: jnp.ndarray        # (Ncd,)
+    cd_albedo: jnp.ndarray       # (Ncd, 3)
+    cd_g: jnp.ndarray            # (Ncd,)
+    # coated conductor
+    cc_iax: jnp.ndarray          # (Ncc,) interface alpha
+    cc_iay: jnp.ndarray
+    cc_eta: jnp.ndarray          # (Ncc,) interface IOR
+    cc_cond_eta: jnp.ndarray     # (Ncc, 471)
+    cc_cond_k: jnp.ndarray       # (Ncc, 471)
+    cc_cax: jnp.ndarray          # (Ncc,) conductor alpha
+    cc_cay: jnp.ndarray
+    cc_thick: jnp.ndarray
+    cc_albedo: jnp.ndarray       # (Ncc, 3)
+    cc_g: jnp.ndarray
 
 
 def _remap_alpha_host(rough, remap):
@@ -192,12 +303,30 @@ def pack_materials(
     glass = {k: [] for k in ("kr", "kt", "eta", "ax", "ay", "kr_tex", "kt_tex", "rough_tex")}
     cond_eta, cond_k, cond_ax, cond_ay, cond_rough_tex = [], [], [], [], []
     emis_le, emis_scale, emis_two, emis_le_tex = [], [], [], []
+    thin_kr, thin_kt, thin_eta = [], [], []
+    dt_refl, dt_trans, dt_refl_tex, dt_trans_tex = [], [], [], []
+    cd = {k: [] for k in ("refl", "refl_tex", "ax", "ay", "eta", "thick", "albedo", "g")}
+    cc = {k: [] for k in ("iax", "iay", "eta", "ceta", "ck", "cax", "cay",
+                          "thick", "albedo", "g")}
+    mix_rows: list[tuple[int, Mix]] = []  # (slot in `work`, material)
+    mix_m1t, mix_m1i, mix_m2t, mix_m2i, mix_amt = [], [], [], [], []
 
-    tags = np.zeros(len(materials), np.int32)
-    idxs = np.zeros(len(materials), np.int32)
+    # Mix children are reachable only through their parent; expand them into
+    # the packing list (dedup by identity) so they get bank rows
+    work = list(materials)
+    for m in materials:
+        if isinstance(m, Mix):
+            for ch in (m.m1, m.m2):
+                assert ch is not None, "Mix needs two child materials"
+                assert not isinstance(ch, Mix), "nested Mix is not supported"
+                if not any(ch is w for w in work):
+                    work.append(ch)
+
+    tags = np.zeros(len(work), np.int32)
+    idxs = np.zeros(len(work), np.int32)
     present: set[int] = set()
 
-    for i, m in enumerate(materials):
+    for i, m in enumerate(work):
         if isinstance(m, Matte):
             tags[i], idxs[i] = MATTE, len(matte_kd)
             kd, kd_tex = resolve_rgb(m.kd, (0.5, 0.5, 0.5))
@@ -254,9 +383,79 @@ def pack_materials(
             emis_two.append(m.two_sided)
         elif isinstance(m, Interface):
             tags[i], idxs[i] = INTERFACE, 0
+        elif isinstance(m, ThinDielectric):
+            tags[i], idxs[i] = THIN_DIELECTRIC, len(thin_kr)
+            thin_kr.append(tuple(np.broadcast_to(np.asarray(m.kr, np.float32), (3,))))
+            thin_kt.append(tuple(np.broadcast_to(np.asarray(m.kt, np.float32), (3,))))
+            thin_eta.append(m.eta)
+        elif isinstance(m, DiffuseTransmission):
+            tags[i], idxs[i] = DIFFUSE_TRANSMISSION, len(dt_refl)
+            r, r_tex = resolve_rgb(m.reflectance, (0.25, 0.25, 0.25))
+            t, t_tex = resolve_rgb(m.transmittance, (0.25, 0.25, 0.25))
+            dt_refl.append(r)
+            dt_trans.append(t)
+            dt_refl_tex.append(r_tex)
+            dt_trans_tex.append(t_tex)
+        elif isinstance(m, CoatedDiffuse):
+            tags[i], idxs[i] = COATED_DIFFUSE, len(cd["refl"])
+            r, r_tex = resolve_rgb(m.reflectance, (0.5, 0.5, 0.5))
+            cd["refl"].append(r)
+            cd["refl_tex"].append(r_tex)
+            a = _remap_alpha_host(m.roughness, m.remap_roughness)
+            cd["ax"].append(a)
+            cd["ay"].append(a)
+            cd["eta"].append(m.ior)
+            cd["thick"].append(m.thickness)
+            cd["albedo"].append(tuple(np.broadcast_to(np.asarray(m.albedo, np.float32), (3,))))
+            cd["g"].append(m.g)
+        elif isinstance(m, CoatedConductor):
+            tags[i], idxs[i] = COATED_CONDUCTOR, len(cc["iax"])
+            ia = _remap_alpha_host(m.interface_roughness, m.remap_roughness)
+            cc["iax"].append(ia)
+            cc["iay"].append(ia)
+            cc["eta"].append(m.interface_ior)
+            if m.metal is not None:
+                eta_s, k_s = metal_eta_k(m.metal)
+                lamg = jnp.asarray(_LAM_GRID, jnp.float32)
+                cc["ceta"].append(np.asarray(eta_s(lamg)))
+                cc["ck"].append(np.asarray(k_s(lamg)))
+            else:
+                def rgb_to_dense(rgb):
+                    lamg = _LAM_GRID
+                    return np.where(
+                        lamg < 490, rgb[2], np.where(lamg < 580, rgb[1], rgb[0])
+                    ).astype(np.float32)
+
+                cc["ceta"].append(rgb_to_dense(np.asarray(m.eta)))
+                cc["ck"].append(rgb_to_dense(np.asarray(m.k)))
+            ca = _remap_alpha_host(m.conductor_roughness, m.remap_roughness)
+            cc["cax"].append(ca)
+            cc["cay"].append(ca)
+            cc["thick"].append(m.thickness)
+            cc["albedo"].append(tuple(np.broadcast_to(np.asarray(m.albedo, np.float32), (3,))))
+            cc["g"].append(m.g)
+        elif isinstance(m, Mix):
+            tags[i], idxs[i] = MIX, len(mix_rows)
+            mix_rows.append((i, m))
         else:
             raise TypeError(f"unknown material {type(m)}")
         present.add(int(tags[i]))
+
+    # second pass: mix children now have bank rows
+    def _slot_of(child):
+        for j, w in enumerate(work):
+            if child is w:
+                return j
+        raise AssertionError("mix child not packed")
+
+    for _, m in mix_rows:
+        j1 = _slot_of(m.m1)
+        j2 = _slot_of(m.m2)
+        mix_m1t.append(int(tags[j1]))
+        mix_m1i.append(int(idxs[j1]))
+        mix_m2t.append(int(tags[j2]))
+        mix_m2i.append(int(idxs[j2]))
+        mix_amt.append(float(m.amount))
 
     def pad3(rows, default=(0.0, 0.0, 0.0)):
         return jnp.asarray(rows or [default], jnp.float32)
@@ -293,5 +492,41 @@ def pack_materials(
         glass_rough_tex=pad1(glass["rough_tex"], -1, jnp.int32),
         cond_rough_tex=pad1(cond_rough_tex, -1, jnp.int32),
         emissive_le_tex=pad1(emis_le_tex, -1, jnp.int32),
+        thin_kr=pad3(thin_kr, (1.0, 1.0, 1.0)),
+        thin_kt=pad3(thin_kt, (1.0, 1.0, 1.0)),
+        thin_eta=pad1(thin_eta, 1.5),
+        dt_refl=pad3(dt_refl, (0.25, 0.25, 0.25)),
+        dt_trans=pad3(dt_trans, (0.25, 0.25, 0.25)),
+        dt_refl_tex=pad1(dt_refl_tex, -1, jnp.int32),
+        dt_trans_tex=pad1(dt_trans_tex, -1, jnp.int32),
+        mix_m1_type=pad1(mix_m1t, 0, jnp.int32),
+        mix_m1_idx=pad1(mix_m1i, 0, jnp.int32),
+        mix_m2_type=pad1(mix_m2t, 0, jnp.int32),
+        mix_m2_idx=pad1(mix_m2i, 0, jnp.int32),
+        mix_amount=pad1(mix_amt, 0.5),
+        cd_refl=pad3(cd["refl"], (0.5, 0.5, 0.5)),
+        cd_refl_tex=pad1(cd["refl_tex"], -1, jnp.int32),
+        cd_ax=pad1(cd["ax"]),
+        cd_ay=pad1(cd["ay"]),
+        cd_eta=pad1(cd["eta"], 1.5),
+        cd_thick=pad1(cd["thick"], 0.01),
+        cd_albedo=pad3(cd["albedo"]),
+        cd_g=pad1(cd["g"]),
+        cc_iax=pad1(cc["iax"]),
+        cc_iay=pad1(cc["iay"]),
+        cc_eta=pad1(cc["eta"], 1.5),
+        cc_cond_eta=jnp.asarray(
+            np.stack(cc["ceta"]) if cc["ceta"] else np.zeros((1, len(_LAM_GRID))),
+            jnp.float32,
+        ),
+        cc_cond_k=jnp.asarray(
+            np.stack(cc["ck"]) if cc["ck"] else np.ones((1, len(_LAM_GRID))),
+            jnp.float32,
+        ),
+        cc_cax=pad1(cc["cax"]),
+        cc_cay=pad1(cc["cay"]),
+        cc_thick=pad1(cc["thick"], 0.01),
+        cc_albedo=pad3(cc["albedo"]),
+        cc_g=pad1(cc["g"]),
     )
     return banks, tags, idxs, present

@@ -220,9 +220,10 @@ def compute_pixel_sample(cfg: ZSobolConfig, px, py, sample_idx) -> PixelSample:
 
 
 def path_sample_1d(cfg: ZSobolConfig, px, py, sample_idx, depth, local_dim: int):
-    """Path dims: base 6 + 8 per depth (sobol.jl:448-471)."""
-    return sample_1d(cfg, px, py, sample_idx, 6 + depth * 8 + local_dim)
+    """Path dims: base 6 + 11 per depth (reference: 7/bounce,
+    sobol.jl:448-471; widened for layered-BSDF eval draws)."""
+    return sample_1d(cfg, px, py, sample_idx, 6 + depth * 11 + local_dim)
 
 
 def path_sample_2d(cfg: ZSobolConfig, px, py, sample_idx, depth, local_dim: int):
-    return sample_2d(cfg, px, py, sample_idx, 6 + depth * 8 + local_dim)
+    return sample_2d(cfg, px, py, sample_idx, 6 + depth * 11 + local_dim)

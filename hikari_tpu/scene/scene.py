@@ -17,6 +17,7 @@ import numpy as np
 from ..core.pytree import pytree_dataclass
 from ..geometry.bvh import build_bvh
 from ..geometry.traverse import DeviceBVH
+from ..geometry.wavefront import Treelets, build_treelets
 from ..lights.types import LightBanks, pack_lights
 from ..materials.types import EMISSIVE, MaterialBanks, pack_materials
 from ..media.types import MediumBanks, pack_media
@@ -25,7 +26,9 @@ from ..textures.atlas import AtlasBuilder, TextureAtlas
 from .mesh import TriangleMesh, compute_vertex_normals
 
 
-@pytree_dataclass(static=("present_materials", "n_lights", "n_faces", "has_media"))
+@pytree_dataclass(
+    static=("present_materials", "n_lights", "n_faces", "has_media", "traversal")
+)
 class SceneData:
     """Device-resident scene: BVH + per-face metadata + typed banks."""
 
@@ -45,6 +48,7 @@ class SceneData:
     arealight_idx: jnp.ndarray  # (F,) int32 area light id; -1 if none
     inside_medium: jnp.ndarray  # (F,) int32 medium id behind the face; -1 vacuum
     outside_medium: jnp.ndarray  # (F,) int32 medium id in front; -1 vacuum
+    treelets: "Treelets"        # packet-traversal triangle blocks
     materials: MaterialBanks
     atlas: "TextureAtlas"       # scene texture atlas (textures/atlas.py)
     media: MediumBanks
@@ -58,6 +62,9 @@ class SceneData:
     n_lights: int
     n_faces: int
     has_media: bool
+    # 'packets' = sorted-packet Pallas engine (TPU); 'skiplink' = per-lane
+    # BVH walk (CPU); 'packets_interp' = packet engine in interpreter mode
+    traversal: str = "skiplink"
 
 
 class Scene:
@@ -111,8 +118,18 @@ class Scene:
         """push!(scene, light) (scene.jl:76-78)."""
         self._lights.append(light)
 
-    def build(self) -> SceneData:
-        """sync!(scene): bake, BVH, pack (scene.jl:144-149)."""
+    def build(self, traversal: str = "auto") -> SceneData:
+        """sync!(scene): bake, BVH, pack (scene.jl:144-149).
+
+        traversal: 'auto' picks the packet engine on TPU and the skip-link
+        walk on CPU; or force 'packets' / 'skiplink' / 'packets_interp'."""
+        import jax
+
+        if traversal == "auto":
+            traversal = (
+                "packets" if jax.default_backend() not in ("cpu",) else "skiplink"
+            )
+        assert traversal in ("packets", "skiplink", "packets_interp"), traversal
         assert self._meshes, "scene has no geometry"
         p0s, p1s, p2s = [], [], []
         n0s, n1s, n2s = [], [], []
@@ -238,6 +255,7 @@ class Scene:
             arealight_idx=jnp.asarray(arealight_idx[order]),
             inside_medium=jnp.asarray(inside_of_face[order]),
             outside_medium=jnp.asarray(outside_of_face[order]),
+            treelets=build_treelets(p0[order], p1[order], p2[order]),
             materials=banks,
             atlas=atlas_builder.build(),
             media=pack_media(self._media),
@@ -251,4 +269,5 @@ class Scene:
             n_lights=n_lights,
             n_faces=int(len(p0)),
             has_media=len(self._media) > 0,
+            traversal=traversal,
         )

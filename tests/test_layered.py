@@ -1,0 +1,144 @@
+"""LayeredBxDF tests: coated diffuse / coated conductor walks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hikari_tpu.materials import layered as ml
+from hikari_tpu.materials.types import (
+    CoatedConductor, CoatedDiffuse, pack_materials,
+)
+from hikari_tpu.spectral.rgb2spec import srgb_table
+
+
+def _banks(mats):
+    banks, _, _, _ = pack_materials(mats)
+    return banks
+
+
+def _sample_batch(sample_fn, banks, n, seed=0, wo_z=0.8):
+    table = srgb_table()
+    wo = jnp.tile(
+        jnp.asarray([[np.sqrt(1 - wo_z**2), 0.0, wo_z]], jnp.float32), (n, 1)
+    )
+    lam = jnp.tile(jnp.array([[480.0, 530.0, 590.0, 650.0]]), (n, 1))
+    idx = jnp.zeros((n,), jnp.int32)
+    k = jax.random.PRNGKey(seed)
+    u2 = jax.random.uniform(jax.random.fold_in(k, 1), (n, 2))
+    uc = jax.random.uniform(jax.random.fold_in(k, 2), (n,))
+    return sample_fn(banks, idx, table, wo, lam, u2, uc), wo, lam, idx, table
+
+
+def test_coated_diffuse_energy_conservation():
+    """E[f cos/pdf] (the walk weight) must be <= 1 and > bare Fresnel-dimmed
+    diffuse floor for a white base."""
+    banks = _banks([CoatedDiffuse(reflectance=(1.0, 1.0, 1.0), roughness=0.0,
+                                  thickness=0.0)])
+    n = 16384
+    s, wo, lam, idx, table = _sample_batch(ml.sample_coated_diffuse, banks, n)
+    ok = np.asarray(s.valid)
+    # ~7% of walks are truncated at MAX_WALK or killed by failed microfacet
+    # events (pbrt's LayeredBxDF loses the same tail)
+    assert ok.mean() > 0.9, ok.mean()
+    thr = np.asarray(s.f) * (
+        np.abs(np.asarray(s.wi[:, 2])) / np.maximum(np.asarray(s.pdf), 1e-9)
+    )[:, None]
+    mean_e = thr[ok].mean()
+    # white base + lossless slab: total albedo should be high but <= 1
+    assert 0.75 < mean_e <= 1.02, mean_e
+
+
+def test_coated_diffuse_darkens_with_absorbing_slab():
+    b0 = _banks([CoatedDiffuse(reflectance=(1.0,) * 3, thickness=0.0)])
+    b1 = _banks([CoatedDiffuse(reflectance=(1.0,) * 3, thickness=1.0)])
+    n = 8192
+
+    def energy(banks, seed):
+        s, *_ = _sample_batch(ml.sample_coated_diffuse, banks, n, seed)
+        ok = np.asarray(s.valid)
+        thr = np.asarray(s.f) * (
+            np.abs(np.asarray(s.wi[:, 2])) / np.maximum(np.asarray(s.pdf), 1e-9)
+        )[:, None]
+        return thr[ok].mean()
+
+    e0 = energy(b0, 0)
+    e1 = energy(b1, 0)
+    assert e1 < 0.75 * e0, (e0, e1)
+
+
+def test_coated_diffuse_reflects_up_only():
+    banks = _banks([CoatedDiffuse()])
+    n = 4096
+    s, *_ = _sample_batch(ml.sample_coated_diffuse, banks, n)
+    wi_z = np.asarray(s.wi[:, 2])
+    assert np.all(wi_z[np.asarray(s.valid)] > 0.0)
+    assert not bool(jnp.any(s.transmission))
+
+
+def test_coated_conductor_tint():
+    """Gold under a clear coat keeps a gold-like spectral response: long
+    wavelengths reflect more than short."""
+    banks = _banks([CoatedConductor(metal="AU", interface_roughness=0.1,
+                                    conductor_roughness=0.2, thickness=0.0)])
+    n = 16384
+    s, wo, lam, idx, table = _sample_batch(ml.sample_coated_conductor, banks, n)
+    ok = np.asarray(s.valid)
+    # rough coat + rough conductor: many walk lanes die on failed
+    # microfacet reflections (below-horizon wi), like pbrt
+    assert ok.mean() > 0.5, ok.mean()
+    thr = np.asarray(s.f) * (
+        np.abs(np.asarray(s.wi[:, 2])) / np.maximum(np.asarray(s.pdf), 1e-9)
+    )[:, None]
+    m = thr[ok].mean(0)  # per-wavelength mean: [480, 530, 590, 650] nm
+    assert m[3] > 1.5 * m[0], m  # red >> blue for gold
+    assert m.max() <= 1.05
+
+
+def test_coated_eval_nonzero_rough_top():
+    """Stochastic f() returns energy for a rough-top coated diffuse."""
+    banks = _banks([CoatedDiffuse(reflectance=(0.8,) * 3, roughness=0.2)])
+    table = srgb_table()
+    n = 8192
+    wo = jnp.tile(jnp.asarray([[0.3, 0.0, 0.954]]), (n, 1))
+    wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+    wi = jnp.tile(jnp.asarray([[-0.2, 0.1, 0.975]]), (n, 1))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    lam = jnp.tile(jnp.array([[480.0, 530.0, 590.0, 650.0]]), (n, 1))
+    idx = jnp.zeros((n,), jnp.int32)
+    k = jax.random.PRNGKey(9)
+    u2 = jax.random.uniform(jax.random.fold_in(k, 1), (n, 2))
+    uc = jax.random.uniform(jax.random.fold_in(k, 2), (n,))
+    f, pdf = ml.eval_coated_diffuse(banks, idx, table, wo, wi, lam, u2, uc)
+    f = np.asarray(f)
+    assert np.isfinite(f).all()
+    assert f.mean() > 1e-3, f.mean()
+    assert float(np.asarray(pdf).mean()) > 1e-3
+    # reciprocity-ish sanity: mean f roughly bounded by base reflectance / pi
+    assert f.mean() < 2.0
+
+
+def test_coated_diffuse_render():
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import VolPath, render
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.scene.mesh import make_quad, make_sphere
+    from hikari_tpu.scene.scene import Scene
+    from hikari_tpu.materials.types import Matte, Plastic
+
+    s = Scene()
+    s.add(make_quad((-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)),
+          Matte(kd=(0.6, 0.6, 0.6)))
+    s.add(make_sphere((0, 0.5, 0), 0.5, 12, 24),
+          Plastic(kd=(0.7, 0.1, 0.1), roughness=0.2))
+    s.add_light(PointLight(position=(1.5, 2.5, -1.0), intensity=(15, 15, 15)))
+    scene = s.build()
+    cam = make_perspective_camera((0, 1.2, -2.6), (0, 0.4, 0), (32, 32), fov_deg=45.0)
+    img = np.asarray(framebuffer(render(VolPath(max_depth=3, samples_per_pixel=8), scene, cam)))
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.05
+    # sphere region should be red-dominant
+    lit = img.sum(-1) > 1e-3
+    center = img[10:24, 10:24]
+    red_ratio = center[..., 0].sum() / max(center.sum(), 1e-6)
+    assert red_ratio > 0.4, red_ratio

@@ -1,0 +1,109 @@
+"""Packet-traversal engine tests (interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hikari_tpu.geometry.bvh import build_bvh
+from hikari_tpu.geometry.traverse import brute_force_closest_hit
+from hikari_tpu.geometry.wavefront import (
+    build_treelets, closest_hit_packets, ray_sort_keys, tile_treelet_mask,
+)
+
+
+def _random_tris(p, seed=0):
+    rng = np.random.RandomState(seed)
+    c = rng.rand(p, 3).astype(np.float32) * 4 - 2
+    p0 = c + rng.rand(p, 3).astype(np.float32) * 0.5
+    p1 = c + rng.rand(p, 3).astype(np.float32) * 0.5
+    p2 = c + rng.rand(p, 3).astype(np.float32) * 0.5
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    fb = build_bvh(lo, hi)
+    return p0[fb.prim_order], p1[fb.prim_order], p2[fb.prim_order]
+
+
+def test_packets_match_brute_force():
+    p0, p1, p2 = _random_tris(400)
+    tl = build_treelets(p0, p1, p2)
+    rng = np.random.RandomState(1)
+    r = 500
+    o = rng.rand(r, 3).astype(np.float32) * 6 - 3
+    d = rng.randn(r, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = np.full(r, np.inf, np.float32)
+    wl = jnp.asarray(p0.min(0))
+    wh = jnp.asarray(p0.max(0))
+
+    rec = closest_hit_packets(
+        tl, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max), wl, wh,
+        interpret=True,
+    )
+    ref = brute_force_closest_hit(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max),
+    )
+    hit_w = np.asarray(rec.hit)
+    hit_r = np.asarray(ref.hit)
+    assert (hit_w == hit_r).all()
+    both = hit_w & hit_r
+    np.testing.assert_allclose(
+        np.asarray(rec.t)[both], np.asarray(ref.t)[both], rtol=1e-4
+    )
+    assert (np.asarray(rec.tri)[both] == np.asarray(ref.tri)[both]).all()
+
+
+def test_tile_mask_is_conservative():
+    """Every actual hit must come from a treelet the tile mask kept."""
+    p0, p1, p2 = _random_tris(300, seed=3)
+    tl = build_treelets(p0, p1, p2)
+    from hikari_tpu.geometry.wavefront import RAY_TILE, TREELET
+
+    rng = np.random.RandomState(4)
+    r = RAY_TILE
+    o = rng.rand(r, 3).astype(np.float32) * 6 - 3
+    d = rng.randn(r, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = jnp.full((r,), 3.0e37)
+    wl = jnp.asarray(p0.min(0))
+    wh = jnp.asarray(p0.max(0))
+    keys = ray_sort_keys(jnp.asarray(o), jnp.asarray(d), wl, wh)
+    order = jnp.argsort(keys)
+    os_ = jnp.asarray(o)[order]
+    ds = jnp.asarray(d)[order]
+
+    mask = np.asarray(tile_treelet_mask(os_, ds, t_max, tl, 1))[0]
+    ref = brute_force_closest_hit(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2), os_, ds, t_max
+    )
+    tri = np.asarray(ref.tri)
+    for t in tri[np.asarray(ref.hit)]:
+        assert mask[t // TREELET], f"hit tri {t} in culled treelet {t // TREELET}"
+
+
+def test_volpath_render_matches_across_engines():
+    """A full render must be identical between the skip-link walk and the
+    packet engine (same sampler, same physics, different intersector)."""
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import VolPath, render
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import Emissive, Matte
+    from hikari_tpu.scene.mesh import make_quad, make_sphere
+    from hikari_tpu.scene.scene import Scene
+
+    def build(traversal):
+        s = Scene()
+        s.add(make_quad((-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)),
+              Matte(kd=(0.7, 0.7, 0.7)))
+        s.add(make_sphere((0, 0.5, 0), 0.5, 8, 16), Matte(kd=(0.8, 0.2, 0.2)))
+        s.add(make_quad((-0.4, 2.0, -0.4), (0.4, 2.0, -0.4), (0.4, 2.0, 0.4), (-0.4, 2.0, 0.4)),
+              Emissive(le=(1.0, 1.0, 1.0), scale=10.0))
+        s.add_light(PointLight(position=(1.0, 2.0, -1.0), intensity=(6.0, 6.0, 6.0)))
+        return s.build(traversal=traversal)
+
+    cam = make_perspective_camera((0, 1.0, -3.0), (0, 0.4, 0), (16, 16), fov_deg=45.0)
+    vp = VolPath(max_depth=3, samples_per_pixel=2)
+    img_sl = np.asarray(framebuffer(render(vp, build("skiplink"), cam)))
+    img_pk = np.asarray(framebuffer(render(vp, build("packets_interp"), cam)))
+    np.testing.assert_allclose(img_pk, img_sl, atol=2e-5)

@@ -116,12 +116,43 @@ def extract_metals():
     print("metal spectra:", sorted({n.rsplit('_', 1)[0] for n in names}))
 
 
+def extract_hosek():
+    """Hosek & Wilkie 2012 spectral sky model dataset (BSD 3-clause; shipped
+    with pbrt-v4 as ArHosekSkyModelData_Spectral.h). 11 bands, 320-720 nm:
+    configs (1080 = 9 coeffs x 6 elevation ctrl pts x 10 turbidities x 2
+    albedos), radiances (120 = 6 x 10 x 2), limb darkening (6)."""
+    src = (REF / "lights/hosek_wilkie_data.jl").read_text()
+    bands = list(range(320, 721, 40))
+    cfg = []
+    rad = []
+    limb = []
+    for b in bands:
+        c = np.array(_numbers(_const_block(src, f"_HOSEK_SPECTRAL_CONFIG_{b}")), np.float64)
+        assert c.size == 1080, (b, c.size)
+        cfg.append(c)
+        r = np.array(_numbers(_const_block(src, f"_HOSEK_SPECTRAL_RAD_{b}")), np.float64)
+        assert r.size == 120, (b, r.size)
+        rad.append(r)
+        l = np.array(_numbers(_const_block(src, f"_HOSEK_LIMB_DARKENING_{b}")), np.float64)
+        assert l.size == 6, (b, l.size)
+        limb.append(l)
+    np.savez(
+        OUT / "hosek_wilkie.npz",
+        configs=np.stack(cfg),      # (11, 1080)
+        radiances=np.stack(rad),    # (11, 120)
+        limb=np.stack(limb),        # (11, 6)
+        bands=np.array(bands, np.float64),
+    )
+    print("hosek-wilkie:", len(bands), "bands")
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     extract_sobol()
     extract_cie()
     extract_d65()
     extract_metals()
+    extract_hosek()
 
 
 if __name__ == "__main__":
