@@ -74,6 +74,42 @@ def framebuffer(film: Film) -> jnp.ndarray:
     return film.rgb_sum / w
 
 
+def film_save(path: str, film: Film) -> None:
+    """Checkpoint the film. Progressive accumulation IS the resume
+    mechanism (reference volpath.jl:445-449 + film.iteration_index): a
+    restored film continues exactly where it stopped (SURVEY.md section 5.4)."""
+    import numpy as np
+
+    np.savez(
+        path,
+        width=film.width, height=film.height,
+        rgb_sum=np.asarray(film.rgb_sum),
+        weight_sum=np.asarray(film.weight_sum),
+        albedo=np.asarray(film.albedo),
+        normal=np.asarray(film.normal),
+        depth=np.asarray(film.depth),
+        aux_weight=np.asarray(film.aux_weight),
+        iteration=np.asarray(film.iteration),
+    )
+
+
+def film_load(path: str) -> Film:
+    """Restore a checkpointed film to continue progressive rendering."""
+    import numpy as np
+
+    z = np.load(path)
+    return Film(
+        width=int(z["width"]), height=int(z["height"]),
+        rgb_sum=jnp.asarray(z["rgb_sum"]),
+        weight_sum=jnp.asarray(z["weight_sum"]),
+        albedo=jnp.asarray(z["albedo"]),
+        normal=jnp.asarray(z["normal"]),
+        depth=jnp.asarray(z["depth"]),
+        aux_weight=jnp.asarray(z["aux_weight"]),
+        iteration=jnp.asarray(z["iteration"]),
+    )
+
+
 def aux_buffers(film: Film):
     w = jnp.maximum(film.aux_weight, 1e-8)
     return (

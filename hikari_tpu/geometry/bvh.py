@@ -34,12 +34,63 @@ class FlatBVH:
     prim_order: np.ndarray  # (P,) int32: permutation old->new applied to primitives
 
 
+def _build_bvh_native(prim_lo, prim_hi, leaf_size) -> FlatBVH | None:
+    """C++ builder (native/bvh_builder.cpp) via ctypes; ~50-100x the numpy
+    build. Returns None when the native library is unavailable."""
+    import ctypes
+
+    from ..native import load_native
+
+    lib = load_native("bvh", "bvh_builder.cpp")
+    if lib is None:
+        return None
+    fn = lib.hikari_build_bvh
+    fn.restype = ctypes.c_int64
+    n = prim_lo.shape[0]
+    lo_c = np.ascontiguousarray(prim_lo, np.float32)
+    hi_c = np.ascontiguousarray(prim_hi, np.float32)
+    cap = 2 * n + 8
+    out_lo = np.empty((cap, 3), np.float32)
+    out_hi = np.empty((cap, 3), np.float32)
+    out_first = np.empty(cap, np.int32)
+    out_count = np.empty(cap, np.int32)
+    out_skip = np.empty(cap, np.int32)
+    out_order = np.empty(n, np.int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    n_nodes = fn(
+        ptr(lo_c), ptr(hi_c), ctypes.c_int64(n), ctypes.c_int32(leaf_size),
+        ptr(out_lo), ptr(out_hi), ptr(out_first), ptr(out_count),
+        ptr(out_skip), ptr(out_order), ctypes.c_int64(cap),
+    )
+    if n_nodes <= 0:
+        return None
+    return FlatBVH(
+        lo=out_lo[:n_nodes].copy(), hi=out_hi[:n_nodes].copy(),
+        first=out_first[:n_nodes].copy(), count=out_count[:n_nodes].copy(),
+        skip=out_skip[:n_nodes].copy(), prim_order=out_order,
+    )
+
+
 def build_bvh(
-    prim_lo: np.ndarray, prim_hi: np.ndarray, leaf_size: int = DEFAULT_LEAF_SIZE
+    prim_lo: np.ndarray, prim_hi: np.ndarray, leaf_size: int = DEFAULT_LEAF_SIZE,
+    native: bool = True,
 ) -> FlatBVH:
-    """Binned-SAH BVH over primitive AABBs. Returns the flat skip-link tree."""
+    """Binned-SAH BVH over primitive AABBs. Returns the flat skip-link tree.
+
+    Uses the native C++ builder when available; the numpy path below is the
+    reference implementation and fallback."""
     n = prim_lo.shape[0]
     assert n > 0
+    if native:
+        fb = _build_bvh_native(
+            np.asarray(prim_lo, np.float32), np.asarray(prim_hi, np.float32),
+            leaf_size,
+        )
+        if fb is not None:
+            return fb
     centroids = 0.5 * (prim_lo + prim_hi)
 
     lo_list: list[np.ndarray] = []

@@ -470,11 +470,12 @@ def render_lanes(
     any_nonspec = zero != 0.0
     medium_idx = zero.astype(jnp.int32) + scene.camera_medium
     prev_p = o  # last real scattering vertex (for area-light pdf)
+    prev_ns = jnp.zeros_like(o)  # its shading normal (BVH-sampler pmf replay)
     n_lights = scene.n_lights
 
     def bounce(depth, carry):
         (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
-         medium_idx, prev_p, rays_traced) = carry
+         medium_idx, prev_p, prev_ns, rays_traced) = carry
 
         t_max = jnp.full((n,), jnp.inf, jnp.float32) + zero
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
@@ -507,8 +508,16 @@ def render_lanes(
         escaped = reach & ~rec.hit
         if scene.lights.has_env:
             le_env, pdf_env = lt.env_radiance(scene.lights, scene.rgb2spec, d, lam)
-            # pmf of the env light under the power sampler (flat list tail)
-            pmf_env = scene.lights.pmf[scene.lights.n_flat - 1]
+            # pmf of selecting the env light (flat list tail)
+            if scene.light_sampler == "bvh":
+                from ..lights.bvh_sampler import bvh_pmf
+
+                pmf_env = bvh_pmf(
+                    scene.light_bvh, prev_p, prev_ns,
+                    jnp.full_like(medium_idx, scene.lights.n_flat - 1),
+                )
+            else:
+                pmf_env = scene.lights.pmf[scene.lights.n_flat - 1]
             r_l_hat = r_l * (pdf_env * pmf_env)[..., None]
             denom = jnp.where(
                 specular, jnp.mean(r_u, -1), jnp.mean(r_u + r_l_hat, -1)
@@ -538,12 +547,16 @@ def render_lanes(
                 scene.materials, jnp.maximum(sd["mat_idx"], 0), scene.rgb2spec,
                 lam, cos_wo, sd["tex"],
             )
-            pmf_area = scene.lights.pmf[
-                jnp.clip(
-                    scene.lights.area_flat_base + sd["arealight"], 0,
-                    scene.lights.pmf.shape[0] - 1,
-                )
-            ]
+            area_flat = jnp.clip(
+                scene.lights.area_flat_base + sd["arealight"], 0,
+                scene.lights.pmf.shape[0] - 1,
+            )
+            if scene.light_sampler == "bvh":
+                from ..lights.bvh_sampler import bvh_pmf
+
+                pmf_area = bvh_pmf(scene.light_bvh, prev_p, prev_ns, area_flat)
+            else:
+                pmf_area = scene.lights.pmf[area_flat]
             pdf_light = lt.area_light_pdf(
                 scene.lights, jnp.maximum(sd["arealight"], 0), prev_p, sd["p"], sd["ng"]
             ) * pmf_area
@@ -561,7 +574,16 @@ def render_lanes(
             nee_any = nee_surface | scattered
             ul = sb.path_sample_1d(zcfg, px, py, si, depth, 0)
             ul2 = jnp.stack(sb.path_sample_2d(zcfg, px, py, si, depth, 1), -1)
-            li_flat, pmf_sel = lt.sample_light_index(scene.lights, ul)
+            p_ref_s = jnp.where(scattered[..., None], p_scatter, sd["p"])
+            if scene.light_sampler == "bvh":
+                from ..lights.bvh_sampler import bvh_sample_light
+
+                ns_ref = jnp.where(scattered[..., None], 0.0, sd["ns"])
+                li_flat, pmf_sel = bvh_sample_light(
+                    scene.light_bvh, p_ref_s, ns_ref, ul
+                )
+            else:
+                li_flat, pmf_sel = lt.sample_light_index(scene.lights, ul)
             ltype = scene.lights.light_type[li_flat]
             lidx = scene.lights.light_idx[li_flat]
             p_ref = jnp.where(scattered[..., None], p_scatter, sd["p"])
@@ -668,6 +690,10 @@ def render_lanes(
             jnp.where(med_go[..., None], wi_med, d),
         )
         prev_p = jnp.where((surf_go | med_go)[..., None], new_o, prev_p)
+        prev_ns = jnp.where(
+            surf_go[..., None], sd["ns"],
+            jnp.where(med_go[..., None], 0.0, prev_ns),
+        )
         o = new_o
         d = new_d
         alive = alive & (surf_go | med_go | iface_go)
@@ -689,13 +715,13 @@ def render_lanes(
         alive = alive & survive
 
         return (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
-                medium_idx, prev_p, rays_traced)
+                medium_idx, prev_p, prev_ns, rays_traced)
 
     carry = (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
-             medium_idx, prev_p, rays_traced)
+             medium_idx, prev_p, prev_ns, rays_traced)
     carry = jax.lax.fori_loop(0, vp.max_depth, bounce, carry)
     L = carry[5]
-    rays_traced = carry[12]
+    rays_traced = carry[13]
 
     # --- film accumulation (vp_accumulate_to_rgb_kernel!, volpath.jl:326-375)
     xyz = spectral_to_xyz(L, lam, wl.pdf)

@@ -1,0 +1,283 @@
+"""NanoVDB FP32 grid I/O: binary-compatible reader/writer (host-side).
+
+Parity with /root/reference/src/integrators/volpath/nanovdb.jl — the same
+zlib-compressed NanoVDB in-memory layout (GridData 672 B, TreeData 64 B,
+leaf 8^3 / lower 16^3 / upper 32^3 / root nodes, pbrt-v4 compatible
+offsets). Where the reference keeps the raw buffer on device and walks the
+tree per sample (nanovdb.jl:315-418), the TPU build materializes the sparse
+tree into a dense density grid at load time and renders it as a GridMedium —
+the delta-tracking DDA majorant cells then skip the empty space that the
+sparse tree encoded. Constant root/internal *tiles* are treated as
+background (density grids built by build_nanovdb never produce them).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+GRIDDATA_SIZE = 672
+TREEDATA_SIZE = 64
+MAP_OFFSET = 296
+MAP_INVMAT = MAP_OFFSET + 36
+MAP_VEC = MAP_OFFSET + 72
+WORLDBBOX = 560
+TREE_NODE_OFFSETS = GRIDDATA_SIZE          # 4 x u64: leaf, lower, upper, root
+TREE_NODE_COUNTS = GRIDDATA_SIZE + 32      # 3 x u32
+
+LEAF_DIM = 8
+LEAF_SIZE = 2144
+LEAF_MASK_OFF = 16
+LEAF_VALUES_OFF = 96
+
+LOWER_DIM = 16
+LOWER_VALUEMASK_OFF = 32
+LOWER_CHILDMASK_OFF = 544
+LOWER_TABLE_OFF = 1088
+LOWER_NODE_SIZE = LOWER_TABLE_OFF + 4096 * 8   # 33856
+
+UPPER_DIM = 32
+UPPER_VALUEMASK_OFF = 32
+UPPER_CHILDMASK_OFF = 4128
+UPPER_TABLE_OFF = 8256
+UPPER_NODE_SIZE = UPPER_TABLE_OFF + 32768 * 8  # 270400
+
+ROOT_HEADER = 64
+ROOT_TILE = 32
+UPPER_TOTAL = 12  # voxels per upper node per axis = 2^12
+
+
+def _u32(b, off):
+    return int(np.frombuffer(b, np.uint32, 1, off)[0])
+
+
+def _u64(b, off):
+    return int(np.frombuffer(b, np.uint64, 1, off)[0])
+
+
+def _i64(b, off):
+    return int(np.frombuffer(b, np.int64, 1, off)[0])
+
+
+def _f32(b, off, n=1):
+    return np.frombuffer(b, np.float32, n, off)
+
+
+def extract_metadata(buf: bytes) -> dict:
+    """GridData/TreeData header fields (extract_nanovdb_metadata)."""
+    wb = np.frombuffer(buf, np.float64, 6, WORLDBBOX)
+    inv_mat = _f32(buf, MAP_INVMAT, 9).reshape(3, 3)
+    vec = _f32(buf, MAP_VEC, 3)
+    offs = [_u64(buf, TREE_NODE_OFFSETS + 8 * i) for i in range(4)]
+    counts = [_u32(buf, TREE_NODE_COUNTS + 4 * i) for i in range(3)]
+    # node offsets are relative to TreeData start
+    base = GRIDDATA_SIZE
+    return dict(
+        world_min=wb[:3], world_max=wb[3:],
+        inv_mat=inv_mat, vec=vec,
+        leaf_offset=base + offs[0], lower_offset=base + offs[1],
+        upper_offset=base + offs[2], root_offset=base + offs[3],
+        leaf_count=counts[0], lower_count=counts[1], upper_count=counts[2],
+        background=float(
+            _f32(buf, base + offs[3] + 28, 1)[0]
+        ),
+    )
+
+
+def to_dense(buf: bytes, md: dict | None = None):
+    """Materialize all leaf nodes into a dense (nz, ny, nx) grid.
+
+    buf is the full file buffer (header parsed for metadata) or, when `md`
+    is supplied, a bare node buffer from build_nanovdb. Returns
+    (dense, index_min (3,), index_max (3,), metadata)."""
+    if md is None:
+        md = extract_metadata(buf)
+    md = dict(md)
+    md.setdefault("background", 0.0)
+    n_leaf = md["leaf_count"]
+    lo = md["leaf_offset"]
+    if n_leaf == 0:
+        return np.zeros((1, 1, 1), np.float32), np.zeros(3, int), np.ones(3, int), md
+
+    origins = np.zeros((n_leaf, 3), np.int64)
+    blocks = np.zeros((n_leaf, 512), np.float32)
+    masks = np.zeros((n_leaf, 512), bool)
+    for i in range(n_leaf):
+        off = lo + i * LEAF_SIZE
+        origins[i] = np.frombuffer(buf, np.int32, 3, off)
+        mask_bits = np.frombuffer(buf, np.uint8, 64, off + LEAF_MASK_OFF)
+        masks[i] = np.unpackbits(mask_bits, bitorder="little")
+        blocks[i] = _f32(buf, off + LEAF_VALUES_OFF, 512)
+
+    imin = origins.min(0)
+    imax = origins.max(0) + LEAF_DIM
+    ext = imax - imin
+    dense = np.full((ext[2], ext[1], ext[0]), md["background"], np.float32)
+    # leaf value order: offset = (x&7)<<6 | (y&7)<<3 | (z&7)  -> (x, y, z)
+    vals = blocks.reshape(n_leaf, 8, 8, 8)           # [x][y][z]
+    mk = masks.reshape(n_leaf, 8, 8, 8)
+    vals = np.where(mk, vals, md["background"])
+    for i in range(n_leaf):
+        ox, oy, oz = origins[i] - imin
+        dense[oz:oz + 8, oy:oy + 8, ox:ox + 8] = vals[i].transpose(2, 1, 0)
+    return dense, imin, imax, md
+
+
+def build_nanovdb(dense: np.ndarray, origin=(0.0, 0.0, 0.0), extent=(1.0, 1.0, 1.0)):
+    """Build the NanoVDB node buffer from a dense (nz, ny, nx) grid:
+    only non-empty 8^3 leaves are stored (build_nanovdb_from_dense,
+    nanovdb.jl:602-860). Returns (buffer bytes, metadata dict)."""
+    d = np.asarray(dense, np.float32)
+    nz, ny, nx = d.shape
+    origin = np.asarray(origin, np.float64)
+    extent = np.asarray(extent, np.float64)
+
+    # pad to multiples of 8 and find non-empty leaves
+    pz, py, px = [(-s) % 8 for s in (nz, ny, nx)]
+    dp = np.pad(d, [(0, pz), (0, py), (0, px)])
+    lz, ly, lx = dp.shape[0] // 8, dp.shape[1] // 8, dp.shape[2] // 8
+    blocks = dp.reshape(lz, 8, ly, 8, lx, 8).transpose(0, 2, 4, 1, 3, 5)
+    nonempty = np.abs(blocks).max(axis=(3, 4, 5)) > 0.0
+    leaf_ids = np.argwhere(nonempty)  # (n_leaf, 3) as (iz, iy, ix)
+    n_leaf = len(leaf_ids)
+
+    leaf_buf = bytearray(n_leaf * LEAF_SIZE)
+    # parent bookkeeping
+    lowers: dict[tuple, dict] = {}
+    uppers: dict[tuple, dict] = {}
+    for li, (iz, iy, ix) in enumerate(leaf_ids):
+        off = li * LEAF_SIZE
+        ox, oy, oz = ix * 8, iy * 8, iz * 8
+        leaf_buf[off:off + 12] = np.asarray([ox, oy, oz], np.int32).tobytes()
+        leaf_buf[off + LEAF_MASK_OFF:off + LEAF_MASK_OFF + 64] = b"\xff" * 64
+        blk = blocks[iz, iy, ix]            # [z][y][x]
+        vals = blk.transpose(2, 1, 0).reshape(-1)  # -> [x][y][z] order
+        leaf_buf[off + LEAF_VALUES_OFF:off + LEAF_VALUES_OFF + 2048] = (
+            vals.astype(np.float32).tobytes()
+        )
+        lk = (ox >> 7, oy >> 7, oz >> 7)    # lower-node origin / 128
+        n_low = (
+            (((ox >> 3) & 15) << 8) | (((oy >> 3) & 15) << 4) | ((oz >> 3) & 15)
+        )
+        lowers.setdefault(lk, {})[n_low] = li
+
+    lower_keys = sorted(lowers)
+    lower_buf = bytearray(len(lower_keys) * LOWER_NODE_SIZE)
+    for wi, lk in enumerate(lower_keys):
+        off = wi * LOWER_NODE_SIZE
+        table = np.zeros(4096, np.int64)
+        cmask = np.zeros(512, np.uint8)
+        for n_low, li in lowers[lk].items():
+            # child offset relative to this lower node's start
+            lower_abs = n_leaf * LEAF_SIZE + wi * LOWER_NODE_SIZE
+            table[n_low] = li * LEAF_SIZE - lower_abs
+            cmask[n_low >> 3] |= 1 << (n_low & 7)
+        lower_buf[off + LOWER_CHILDMASK_OFF:off + LOWER_CHILDMASK_OFF + 512] = bytes(cmask)
+        lower_buf[off + LOWER_TABLE_OFF:off + LOWER_TABLE_OFF + 4096 * 8] = table.tobytes()
+        uk = (lk[0] >> 5, lk[1] >> 5, lk[2] >> 5)
+        n_up = (
+            ((lk[0] & 31) << 10) | ((lk[1] & 31) << 5) | (lk[2] & 31)
+        )
+        uppers.setdefault(uk, {})[n_up] = wi
+
+    upper_keys = sorted(uppers)
+    upper_base = n_leaf * LEAF_SIZE + len(lower_keys) * LOWER_NODE_SIZE
+    upper_buf = bytearray(len(upper_keys) * UPPER_NODE_SIZE)
+    for ui, uk in enumerate(upper_keys):
+        off = ui * UPPER_NODE_SIZE
+        table = np.zeros(32768, np.int64)
+        cmask = np.zeros(4096, np.uint8)
+        for n_up, wi in uppers[uk].items():
+            upper_abs = upper_base + ui * UPPER_NODE_SIZE
+            lower_abs = n_leaf * LEAF_SIZE + wi * LOWER_NODE_SIZE
+            table[n_up] = lower_abs - upper_abs
+            cmask[n_up >> 3] |= 1 << (n_up & 7)
+        upper_buf[off + UPPER_CHILDMASK_OFF:off + UPPER_CHILDMASK_OFF + 4096] = bytes(cmask)
+        upper_buf[off + UPPER_TABLE_OFF:off + UPPER_TABLE_OFF + 32768 * 8] = table.tobytes()
+
+    root_base = upper_base + len(upper_keys) * UPPER_NODE_SIZE
+    root_buf = bytearray(ROOT_HEADER + len(upper_keys) * ROOT_TILE)
+    root_buf[24:28] = np.uint32(len(upper_keys)).tobytes()
+    root_buf[28:32] = np.float32(0.0).tobytes()  # background
+    for ui, uk in enumerate(upper_keys):
+        t = ROOT_HEADER + ui * ROOT_TILE
+        key = (
+            (np.uint64(uk[2] & 0x1FFFFF))
+            | (np.uint64(uk[1] & 0x1FFFFF) << np.uint64(21))
+            | (np.uint64(uk[0] & 0x1FFFFF) << np.uint64(42))
+        )
+        root_buf[t:t + 8] = np.uint64(key).tobytes()
+        upper_abs = upper_base + ui * UPPER_NODE_SIZE
+        root_buf[t + 8:t + 16] = np.int64(upper_abs - root_base).tobytes()
+
+    buf = bytes(leaf_buf) + bytes(lower_buf) + bytes(upper_buf) + bytes(root_buf)
+    voxel = extent / np.array([nx, ny, nz], np.float64)
+    inv_mat = np.diag(1.0 / voxel).astype(np.float32)
+    md = dict(
+        leaf_offset=0, lower_offset=n_leaf * LEAF_SIZE,
+        upper_offset=upper_base, root_offset=root_base,
+        leaf_count=n_leaf, lower_count=len(lower_keys),
+        upper_count=len(upper_keys),
+        inv_mat=inv_mat, vec=origin.astype(np.float32),
+        world_min=origin, world_max=origin + extent,
+    )
+    return buf, md
+
+
+def save_nanovdb(path: str, dense: np.ndarray, origin=(0, 0, 0), extent=(1, 1, 1)):
+    """Write a zlib-compressed NanoVDB-layout file (save_nanovdb,
+    nanovdb.jl:868-1108)."""
+    node_buf, md = build_nanovdb(dense, origin, extent)
+    header = bytearray(GRIDDATA_SIZE + TREEDATA_SIZE)
+    inv = np.asarray(md["inv_mat"], np.float64)
+    mat = np.linalg.inv(inv)
+    header[MAP_OFFSET:MAP_OFFSET + 36] = mat.astype(np.float32).tobytes()
+    header[MAP_INVMAT:MAP_INVMAT + 36] = inv.astype(np.float32).tobytes()
+    header[MAP_VEC:MAP_VEC + 12] = np.asarray(md["vec"], np.float32).tobytes()
+    header[WORLDBBOX:WORLDBBOX + 48] = np.concatenate(
+        [np.asarray(md["world_min"], np.float64), np.asarray(md["world_max"], np.float64)]
+    ).tobytes()
+    # node offsets are relative to TreeData start = byte 672 of the file;
+    # nodes begin at 736, so relative = node_offset_in_buf + 64
+    offs = np.asarray(
+        [md["leaf_offset"] + 64, md["lower_offset"] + 64,
+         md["upper_offset"] + 64, md["root_offset"] + 64], np.uint64,
+    )
+    header[TREE_NODE_OFFSETS:TREE_NODE_OFFSETS + 32] = offs.tobytes()
+    counts = np.asarray(
+        [md["leaf_count"], md["lower_count"], md["upper_count"]], np.uint32
+    )
+    header[TREE_NODE_COUNTS:TREE_NODE_COUNTS + 12] = counts.tobytes()
+    with open(path, "wb") as f:
+        f.write(zlib.compress(bytes(header) + node_buf, 6))
+
+
+def load_nanovdb(path: str):
+    """Read a zlib-compressed NanoVDB file -> (dense (nz,ny,nx), world_lo,
+    world_hi)."""
+    with open(path, "rb") as f:
+        buf = zlib.decompress(f.read())
+    dense, imin, imax, md = to_dense(buf)
+    # world bounds from the header; if unset, derive from index box + map
+    wmin = np.asarray(md["world_min"], np.float64)
+    wmax = np.asarray(md["world_max"], np.float64)
+    if not np.all(np.isfinite(wmin)) or np.all(wmax == 0.0):
+        inv = np.asarray(md["inv_mat"], np.float64)
+        voxel = 1.0 / np.diag(inv)
+        wmin = md["vec"] + imin * voxel
+        wmax = md["vec"] + imax * voxel
+    return dense, wmin.astype(np.float32), wmax.astype(np.float32)
+
+
+def nanovdb_medium(path: str, sigma_a=(0.0, 0.0, 0.0), sigma_s=(1.0, 1.0, 1.0),
+                   g: float = 0.0, scale: float = 1.0):
+    """NanoVDBMedium constructor (nanovdb.jl:1320+): load the grid and wrap
+    it as a GridMedium with DDA majorant cells."""
+    from .types import GridMedium
+
+    dense, wlo, whi = load_nanovdb(path)
+    return GridMedium(
+        density=dense, bounds_lo=tuple(wlo), bounds_hi=tuple(whi),
+        sigma_a=sigma_a, sigma_s=sigma_s, g=g, scale=scale,
+    )

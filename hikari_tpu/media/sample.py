@@ -24,7 +24,7 @@ from ..core.vecmath import coordinate_system, normalize
 from ..sampling import u64
 from ..sampling.hashes import mix_bits
 from ..spectral.rgb2spec import rgb_unbounded_eval
-from .types import GRID, HOMOGENEOUS, MediumBanks
+from .types import GRID, HOMOGENEOUS, MAJORANT_RES, RGBGRID, MediumBanks
 
 MAX_TRACK_STEPS = 1024  # reference cap: 1024 samples (delta-tracking.jl:343)
 ONE_MINUS_EPS = jnp.float32(1.0 - 2**-24)
@@ -150,6 +150,45 @@ def _grid_density(banks: MediumBanks, midx, p):
     return jnp.where(inside, d, 0.0)
 
 
+def _rgb_grid_trilinear(banks: MediumBanks, midx, p, buffer):
+    """Trilinear lookup into a flat per-voxel RGB buffer (RGBGridMedium)."""
+    lo = banks.bounds_lo[midx]
+    hi = banks.bounds_hi[midx]
+    res = banks.grid_res[midx]
+    off = banks.rgb_offset[midx]
+    ext = jnp.maximum(hi - lo, 1e-12)
+    q = (p - lo) / ext
+    inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+    nx = res[..., 0]
+    ny = res[..., 1]
+    nz = res[..., 2]
+    fx = jnp.clip(q[..., 0] * nx.astype(jnp.float32) - 0.5, 0.0, nx.astype(jnp.float32) - 1.0)
+    fy = jnp.clip(q[..., 1] * ny.astype(jnp.float32) - 0.5, 0.0, ny.astype(jnp.float32) - 1.0)
+    fz = jnp.clip(q[..., 2] * nz.astype(jnp.float32) - 0.5, 0.0, nz.astype(jnp.float32) - 1.0)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    z0 = jnp.floor(fz).astype(jnp.int32)
+    dx = (fx - x0)[..., None]
+    dy = (fy - y0)[..., None]
+    dz = (fz - z0)[..., None]
+    x1 = jnp.minimum(x0 + 1, nx - 1)
+    y1 = jnp.minimum(y0 + 1, ny - 1)
+    z1 = jnp.minimum(z0 + 1, nz - 1)
+
+    def at(xi, yi, zi):
+        lin = off + (zi * ny + yi) * nx + xi
+        return buffer[jnp.clip(lin, 0, buffer.shape[0] - 1)]
+
+    c00 = at(x0, y0, z0) * (1 - dx) + at(x1, y0, z0) * dx
+    c10 = at(x0, y1, z0) * (1 - dx) + at(x1, y1, z0) * dx
+    c01 = at(x0, y0, z1) * (1 - dx) + at(x1, y0, z1) * dx
+    c11 = at(x0, y1, z1) * (1 - dx) + at(x1, y1, z1) * dx
+    c0 = c00 * (1 - dy) + c10 * dy
+    c1 = c01 * (1 - dy) + c11 * dy
+    v = c0 * (1 - dz) + c1 * dz
+    return jnp.where(inside[..., None], v, 0.0)
+
+
 def medium_properties(banks: MediumBanks, table, midx, p, lam):
     """sigma_a, sigma_s, Le at wavelengths lam; HG g (sample_point analog).
 
@@ -158,22 +197,82 @@ def medium_properties(banks: MediumBanks, table, midx, p, lam):
     ss = rgb_unbounded_eval(table, banks.sigma_s[midx], lam)
     le = rgb_unbounded_eval(table, banks.le[midx], lam)
     g = banks.g[midx]
-    is_grid = banks.med_type[midx] == GRID
+    mtype = banks.med_type[midx]
     if banks.has_grid:
         dens = _grid_density(banks, midx, p)
-        scale = jnp.where(is_grid, dens, 1.0)
-    else:
-        scale = jnp.ones_like(g)
-    return sa * scale[..., None], ss * scale[..., None], le, g
+        scale = jnp.where(mtype == GRID, dens, 1.0)
+        sa = sa * scale[..., None]
+        ss = ss * scale[..., None]
+        is_rgb = mtype == RGBGRID
+        # RGBGridMedium: absolute per-voxel coefficients
+        sa_rgb = rgb_unbounded_eval(
+            table, _rgb_grid_trilinear(banks, midx, p, banks.rgb_sa), lam
+        )
+        ss_rgb = rgb_unbounded_eval(
+            table, _rgb_grid_trilinear(banks, midx, p, banks.rgb_ss), lam
+        )
+        le_rgb = rgb_unbounded_eval(
+            table, _rgb_grid_trilinear(banks, midx, p, banks.rgb_le), lam
+        )
+        sa = jnp.where(is_rgb[..., None], sa_rgb, sa)
+        ss = jnp.where(is_rgb[..., None], ss_rgb, ss)
+        le = jnp.where(is_rgb[..., None], le_rgb, le)
+    return sa, ss, le, g
+
+
+def _spectral_majorant_base(banks: MediumBanks, table, midx, lam):
+    """Wavelength-dependent majorant basis: times the per-cell scalar it
+    bounds sigma_t. GRID/HOMOGENEOUS: uplift(sa+ss); RGBGRID: the cell
+    already stores an absolute max-component sigma_t, use a safety-padded
+    constant (uplift of rgb can locally exceed max-component by a little)."""
+    sa = rgb_unbounded_eval(table, banks.sigma_a[midx], lam)
+    ss = rgb_unbounded_eval(table, banks.sigma_s[midx], lam)
+    base = sa + ss
+    is_rgb = banks.med_type[midx] == RGBGRID
+    return jnp.where(is_rgb[..., None], 1.15, base)
+
+
+def majorant_cell(banks: MediumBanks, midx, p):
+    """Per-cell scalar majorant at position p (MajorantGrid lookup)."""
+    lo = banks.bounds_lo[midx]
+    hi = banks.bounds_hi[midx]
+    ext = jnp.maximum(hi - lo, 1e-12)
+    is_spatial = banks.med_type[midx] != HOMOGENEOUS
+    q = jnp.clip((p - lo) / ext, 0.0, 1.0 - 1e-6)
+    c = (q * MAJORANT_RES).astype(jnp.int32)
+    cell = banks.maj[midx, c[..., 2], c[..., 1], c[..., 0]]
+    return jnp.where(is_spatial, cell, 1.0)
+
+
+def majorant_cell_exit(banks: MediumBanks, midx, o, d, t, t1):
+    """Parameter where the ray leaves the current majorant cell (stateless
+    DDA step: recomputed from the position each iteration)."""
+    lo = banks.bounds_lo[midx]
+    hi = banks.bounds_hi[midx]
+    ext = jnp.maximum(hi - lo, 1e-12)
+    is_spatial = banks.med_type[midx] != HOMOGENEOUS
+    p = o + t[..., None] * d
+    q = jnp.clip((p - lo) / ext, 0.0, 1.0 - 1e-6)
+    c = jnp.floor(q * MAJORANT_RES)
+    cell_size = ext / MAJORANT_RES
+    cell_lo = lo + c * cell_size
+    cell_hi = cell_lo + cell_size
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    t_far = jnp.where(d >= 0.0, (cell_hi - o) * inv_d, (cell_lo - o) * inv_d)
+    t_exit = jnp.min(t_far, axis=-1)
+    # push just past the boundary so the next lookup lands in the new cell
+    t_exit = jnp.maximum(t_exit, t + 1e-5) + 1e-4 * jnp.max(cell_size, -1) / 4.0
+    return jnp.where(is_spatial, jnp.minimum(t_exit, t1), t1)
 
 
 def majorant(banks: MediumBanks, table, midx, lam):
-    """Per-lane spectral majorant sigma_maj(lambda) (global per medium;
-    DDA voxel majorants are a later optimization)."""
+    """Global spectral majorant (used by the shadow ratio tracker)."""
     sa = rgb_unbounded_eval(table, banks.sigma_a[midx], lam)
     ss = rgb_unbounded_eval(table, banks.sigma_s[midx], lam)
-    maj = (sa + ss) * banks.max_density[midx][..., None]
-    return maj
+    base = sa + ss
+    is_rgb = banks.med_type[midx] == RGBGRID
+    base = jnp.where(is_rgb[..., None], 1.15, base)
+    return base * banks.max_density[midx][..., None]
 
 
 def medium_segment(banks: MediumBanks, midx, o, d, t_max):
@@ -222,15 +321,15 @@ def delta_track(
     status=PASSED."""
     n = o.shape[0]
     mi = jnp.maximum(midx, 0)
-    sig_maj = majorant(banks, table, mi, lam)          # (N,4)
-    sig_maj0 = sig_maj[..., 0]
+    sig_base = _spectral_majorant_base(banks, table, mi, lam)   # (N,4)
+    glob_max = banks.max_density[mi]
     t0, t1 = medium_segment(banks, mi, o, d, t_max)
 
     rng = lcg_init(o, d, t_max)
     zero_vec = o[..., 0] * 0.0
 
-    empty = sig_maj0 < 1e-10
-    status0 = jnp.where(active & ~empty, TRACKING, PASSED).astype(jnp.int32)
+    empty = sig_base[..., 0] * glob_max < 1e-10
+    status0 = jnp.where(active & ~empty & (t1 > t0), TRACKING, PASSED).astype(jnp.int32)
 
     state = dict(
         status=status0,
@@ -248,13 +347,27 @@ def delta_track(
 
     def body(s):
         tracking = s["status"] == TRACKING
+        # per-cell majorant at the current position (MajorantGrid + DDA:
+        # the cell exit is recomputed statelessly each step)
+        p_cur = o + s["t"][..., None] * d
+        cell = majorant_cell(banks, mi, p_cur)
+        sig_maj = sig_base * cell[..., None]
+        sig_maj0 = sig_maj[..., 0]
+        t_cell_end = majorant_cell_exit(banks, mi, o, d, s["t"], t1)
+
         rng, u = lcg_next(s["rng"])
         dt = -jnp.log(jnp.maximum(1e-10, 1.0 - u)) / jnp.maximum(sig_maj0, 1e-10)
         t_new = s["t"] + dt
+        # empty cell: skip straight to its far side
+        cell_empty = sig_maj0 < 1e-10
+        t_new = jnp.where(cell_empty, t_cell_end, t_new)
 
-        # past segment end: apply residual majorant transmittance, PASS
-        past = t_new >= t1
-        dt_remain = jnp.maximum(t1 - s["t"], 0.0)
+        # past the current cell (or the segment end): apply the residual
+        # spectral majorant ratio for the distance covered in this cell,
+        # then either continue tracking from the cell boundary or PASS
+        past = t_new >= t_cell_end
+        at_seg_end = t_cell_end >= t1 * (1.0 - 1e-7)
+        dt_remain = jnp.maximum(t_cell_end - s["t"], 0.0)
         t_maj_rem = jnp.exp(-dt_remain[..., None] * sig_maj)
         rem0 = jnp.maximum(t_maj_rem[..., 0:1], 1e-10)
         pass_scale = t_maj_rem / rem0
@@ -262,13 +375,17 @@ def delta_track(
         beta = jnp.where(upd[..., None], s["beta"] * pass_scale, s["beta"])
         r_u = jnp.where(upd[..., None], s["r_u"] * pass_scale, s["r_u"])
         r_l = jnp.where(upd[..., None], s["r_l"] * pass_scale, s["r_l"])
-        status = jnp.where(upd, PASSED, s["status"])
+        status = jnp.where(upd & at_seg_end, PASSED, s["status"])
 
         # interaction candidate
         inter = tracking & ~past
         t_maj = jnp.exp(-dt[..., None] * sig_maj)
         p = o + t_new[..., None] * d
         sa, ss_, le, g = medium_properties(banks, table, mi, p, lam)
+        # imperfect majorants (rgb uplift overshoot) are clamped: a tiny
+        # bias pbrt accepts the same way
+        sa = jnp.minimum(sa, sig_maj)
+        ss_ = jnp.minimum(ss_, jnp.maximum(sig_maj - sa, 0.0))
 
         # volumetric emission (delta-tracking.jl:371-382)
         pr = sig_maj0 * t_maj[..., 0]
@@ -314,7 +431,9 @@ def delta_track(
         dead = jnp.all(beta == 0.0, -1) | jnp.all(r_u == 0.0, -1)
         status = jnp.where((status == TRACKING) & dead, ABSORBED, status)
 
-        t = jnp.where(null, t_new, s["t"])
+        t = s["t"]
+        t = jnp.where(upd, t_cell_end, t)       # advanced to the next cell
+        t = jnp.where(null, t_new, t)
         # record scatter t for position reconstruction
         t = jnp.where(scatter, t_new, t)
 
@@ -397,6 +516,8 @@ def ratio_track_tr(
         t_maj = jnp.exp(-dt[..., None] * sig_maj)
         p = o + t_new[..., None] * d
         sa, ss_, _, _ = medium_properties(banks, table, mi, p, lam)
+        sa = jnp.minimum(sa, sig_maj)
+        ss_ = jnp.minimum(ss_, jnp.maximum(sig_maj - sa, 0.0))
         sig_n = jnp.maximum(sig_maj - sa - ss_, 0.0)
         pdf = jnp.maximum(t_maj[..., 0] * sig_maj[..., 0], 1e-10)
         T = jnp.where(

@@ -1,13 +1,15 @@
 """Participating media: host definitions, device banks, presets.
 
 Parity with /root/reference/src/integrators/volpath/media.jl:
-HomogeneousMedium, GridMedium (density grid + majorant grid), HG phase
-function, measured medium presets. RGBGridMedium / NanoVDB follow.
+HomogeneousMedium, GridMedium (density grid + MajorantGrid), RGBGridMedium
+(per-voxel sigma_a/sigma_s/Le RGB grids, media.jl:1002-1458), HG phase
+function, measured medium presets, CloudVolume via noise.py.
 
-Device layout: all grid media share one flat density buffer and one flat
-majorant buffer with per-medium (offset, resolution, bounds) — uniform
-static shapes regardless of how many grids a scene holds, with per-lane
-gathers indexed by medium id.
+Device layout: all grid media share one flat density buffer (scalar) and
+one flat RGB buffer with per-medium (offset, resolution, bounds); every
+spatial medium also carries a MAJORANT_RES^3 majorant cell grid
+(media.jl:1123-1543) that the delta-tracking DDA walks — uniform static
+shapes regardless of how many grids a scene holds.
 """
 
 from __future__ import annotations
@@ -21,7 +23,8 @@ from ..core.pytree import pytree_dataclass
 
 HOMOGENEOUS = 0
 GRID = 1
-N_MEDIUM_TYPES = 2
+RGBGRID = 2
+N_MEDIUM_TYPES = 3
 
 MAJORANT_RES = 16  # majorant grid resolution per axis (media.jl:1123-1543)
 
@@ -53,6 +56,44 @@ class GridMedium:
     le: tuple = (0.0, 0.0, 0.0)
     g: float = 0.0
     scale: float = 1.0
+
+
+@dataclass
+class RGBGridMedium:
+    """Per-voxel RGB absorption/scattering/emission grids
+    (media.jl:1002-1458). Each grid is (nz, ny, nx, 3) or None.
+    sigma_*_scale multiply the stored values."""
+
+    sigma_a_grid: np.ndarray = None
+    sigma_s_grid: np.ndarray = None
+    le_grid: np.ndarray = None
+    bounds_lo: tuple = (0.0, 0.0, 0.0)
+    bounds_hi: tuple = (1.0, 1.0, 1.0)
+    sigma_a_scale: float = 1.0
+    sigma_s_scale: float = 1.0
+    le_scale: float = 1.0
+    g: float = 0.0
+
+
+def CloudVolume(
+    resolution: int = 96,
+    bounds_lo=(0.0, 0.0, 0.0),
+    bounds_hi=(1.0, 1.0, 1.0),
+    sigma_s=(1.0, 1.0, 1.0),
+    sigma_a=(0.02, 0.02, 0.02),
+    g: float = 0.877,
+    scale: float = 1.0,
+    **noise_kwargs,
+) -> GridMedium:
+    """Procedural cloud medium (materials/volume.jl CloudVolume analog):
+    a GridMedium filled by the Worley/Perlin cloud recipe."""
+    from .noise import generate_cloud_density
+
+    d = generate_cloud_density(resolution, **noise_kwargs)
+    return GridMedium(
+        density=d, bounds_lo=bounds_lo, bounds_hi=bounds_hi,
+        sigma_a=sigma_a, sigma_s=sigma_s, g=g, scale=scale,
+    )
 
 
 # Measured scattering media presets (sigma_s, sigma_a per mm, from the
@@ -91,28 +132,60 @@ def Smoke(scale=1.0):
 
 @pytree_dataclass(static=("n_media", "has_grid"))
 class MediumBanks:
-    med_type: jnp.ndarray      # (M,) HOMOGENEOUS / GRID
-    sigma_a: jnp.ndarray       # (M, 3) rgb, pre-scaled
+    med_type: jnp.ndarray      # (M,) HOMOGENEOUS / GRID / RGBGRID
+    sigma_a: jnp.ndarray       # (M, 3) rgb, pre-scaled (per-density for grids)
     sigma_s: jnp.ndarray       # (M, 3)
     le: jnp.ndarray            # (M, 3)
     g: jnp.ndarray             # (M,)
-    # grid media (zeros for homogeneous entries)
+    # spatial media (zeros for homogeneous entries)
     bounds_lo: jnp.ndarray     # (M, 3)
     bounds_hi: jnp.ndarray     # (M, 3)
-    grid_offset: jnp.ndarray   # (M,) into the flat density buffer
+    grid_offset: jnp.ndarray   # (M,) into the flat buffers (voxel units)
     grid_res: jnp.ndarray      # (M, 3) (nx, ny, nz)
-    density: jnp.ndarray       # (sum voxels,) flat buffer
-    max_density: jnp.ndarray   # (M,)
+    density: jnp.ndarray       # (V,) flat scalar density buffer
+    rgb_sa: jnp.ndarray        # (Vr, 3) flat RGBGRID sigma_a buffer
+    rgb_ss: jnp.ndarray        # (Vr, 3)
+    rgb_le: jnp.ndarray        # (Vr, 3)
+    rgb_offset: jnp.ndarray    # (M,) into the rgb buffers
+    max_density: jnp.ndarray   # (M,) global majorant scale
+    # per-cell majorant grids: scale factor on (sigma_a+sigma_s) uplift
+    maj: jnp.ndarray           # (M, R, R, R) float32
     n_media: int
     has_grid: bool
+
+
+def _build_majorant_cells(d: np.ndarray) -> np.ndarray:
+    """Max-pool a (nz, ny, nx) density grid to MAJORANT_RES^3 cells with a
+    1-voxel dilation so trilinear interpolation stays bounded
+    (media.jl:1123-1543)."""
+    r = MAJORANT_RES
+    nz, ny, nx = d.shape
+    out = np.zeros((r, r, r), np.float32)
+    zs = np.linspace(0, nz, r + 1).astype(int)
+    ys = np.linspace(0, ny, r + 1).astype(int)
+    xs = np.linspace(0, nx, r + 1).astype(int)
+    for iz in range(r):
+        z0, z1 = max(zs[iz] - 1, 0), min(zs[iz + 1] + 1, nz)
+        for iy in range(r):
+            y0, y1 = max(ys[iy] - 1, 0), min(ys[iy + 1] + 1, ny)
+            for ix in range(r):
+                x0, x1 = max(xs[ix] - 1, 0), min(xs[ix + 1] + 1, nx)
+                blk = d[z0:z1, y0:y1, x0:x1]
+                out[iz, iy, ix] = blk.max() if blk.size else 0.0
+    return out
 
 
 def pack_media(media: list) -> MediumBanks:
     types, sa, ss, le, g = [], [], [], [], []
     blo, bhi, goff, gres, maxd = [], [], [], [], []
+    roff = []
     flat = []
+    rgb_sa, rgb_ss, rgb_le = [], [], []
+    majs = []
     offset = 0
+    rgb_offset = 0
     has_grid = False
+    r = MAJORANT_RES
     for m in media:
         if isinstance(m, HomogeneousMedium):
             types.append(HOMOGENEOUS)
@@ -123,8 +196,10 @@ def pack_media(media: list) -> MediumBanks:
             blo.append((0, 0, 0))
             bhi.append((0, 0, 0))
             goff.append(0)
+            roff.append(0)
             gres.append((1, 1, 1))
             maxd.append(1.0)
+            majs.append(np.ones((r, r, r), np.float32))
         elif isinstance(m, GridMedium):
             has_grid = True
             d = np.asarray(m.density, np.float32)
@@ -138,10 +213,45 @@ def pack_media(media: list) -> MediumBanks:
             blo.append(m.bounds_lo)
             bhi.append(m.bounds_hi)
             goff.append(offset)
+            roff.append(0)
             gres.append((nx, ny, nz))
             maxd.append(float(d.max()))
+            majs.append(_build_majorant_cells(d))
             flat.append(d.reshape(-1))
             offset += d.size
+        elif isinstance(m, RGBGridMedium):
+            has_grid = True
+            sag = np.asarray(m.sigma_a_grid, np.float32) * m.sigma_a_scale \
+                if m.sigma_a_grid is not None else None
+            ssg = np.asarray(m.sigma_s_grid, np.float32) * m.sigma_s_scale \
+                if m.sigma_s_grid is not None else None
+            leg = np.asarray(m.le_grid, np.float32) * m.le_scale \
+                if m.le_grid is not None else None
+            shape = (sag if sag is not None else ssg).shape[:3]
+            nz, ny, nx = shape
+            zero = np.zeros(shape + (3,), np.float32)
+            sag = sag if sag is not None else zero
+            ssg = ssg if ssg is not None else zero
+            leg = leg if leg is not None else zero
+            types.append(RGBGRID)
+            # per-voxel values are absolute; bank sigma carries a unit
+            # scale, max-component density drives the majorant
+            sa.append((1.0, 1.0, 1.0))
+            ss.append((1.0, 1.0, 1.0))
+            le.append((0.0, 0.0, 0.0))
+            g.append(m.g)
+            blo.append(m.bounds_lo)
+            bhi.append(m.bounds_hi)
+            goff.append(0)
+            roff.append(rgb_offset)
+            gres.append((nx, ny, nz))
+            sig_t = (sag + ssg).max(-1)  # (nz, ny, nx) max over rgb
+            maxd.append(float(sig_t.max()) if sig_t.size else 0.0)
+            majs.append(_build_majorant_cells(sig_t))
+            rgb_sa.append(sag.reshape(-1, 3))
+            rgb_ss.append(ssg.reshape(-1, 3))
+            rgb_le.append(leg.reshape(-1, 3))
+            rgb_offset += nz * ny * nx
         else:
             raise TypeError(f"unknown medium {type(m)}")
 
@@ -159,7 +269,12 @@ def pack_media(media: list) -> MediumBanks:
             grid_offset=jnp.zeros((1,), jnp.int32),
             grid_res=jnp.ones((1, 3), jnp.int32),
             density=jnp.zeros((1,), jnp.float32),
+            rgb_sa=jnp.zeros((1, 3), jnp.float32),
+            rgb_ss=jnp.zeros((1, 3), jnp.float32),
+            rgb_le=jnp.zeros((1, 3), jnp.float32),
+            rgb_offset=jnp.zeros((1,), jnp.int32),
             max_density=jnp.ones((1,), jnp.float32),
+            maj=jnp.ones((1, r, r, r), jnp.float32),
             n_media=0,
             has_grid=False,
         )
@@ -175,7 +290,18 @@ def pack_media(media: list) -> MediumBanks:
         grid_offset=jnp.asarray(goff, jnp.int32),
         grid_res=jnp.asarray(np.asarray(gres, np.int32)),
         density=jnp.asarray(np.concatenate(flat) if flat else np.zeros(1, np.float32)),
+        rgb_sa=jnp.asarray(
+            np.concatenate(rgb_sa) if rgb_sa else np.zeros((1, 3), np.float32)
+        ),
+        rgb_ss=jnp.asarray(
+            np.concatenate(rgb_ss) if rgb_ss else np.zeros((1, 3), np.float32)
+        ),
+        rgb_le=jnp.asarray(
+            np.concatenate(rgb_le) if rgb_le else np.zeros((1, 3), np.float32)
+        ),
+        rgb_offset=jnp.asarray(roff, jnp.int32),
         max_density=jnp.asarray(maxd, jnp.float32),
+        maj=jnp.asarray(np.stack(majs)),
         n_media=n,
         has_grid=has_grid,
     )

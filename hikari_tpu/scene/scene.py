@@ -27,7 +27,10 @@ from .mesh import TriangleMesh, compute_vertex_normals
 
 
 @pytree_dataclass(
-    static=("present_materials", "n_lights", "n_faces", "has_media", "traversal")
+    static=(
+        "present_materials", "n_lights", "n_faces", "has_media", "traversal",
+        "light_sampler",
+    )
 )
 class SceneData:
     """Device-resident scene: BVH + per-face metadata + typed banks."""
@@ -54,6 +57,7 @@ class SceneData:
     media: MediumBanks
     camera_medium: jnp.ndarray  # () int32; -1 vacuum
     lights: LightBanks
+    light_bvh: "LightBVH"
     rgb2spec: RGBToSpectrumTable
     world_lo: jnp.ndarray   # (3,)
     world_hi: jnp.ndarray   # (3,)
@@ -65,6 +69,8 @@ class SceneData:
     # 'packets' = sorted-packet Pallas engine (TPU); 'skiplink' = per-lane
     # BVH walk (CPU); 'packets_interp' = packet engine in interpreter mode
     traversal: str = "skiplink"
+    # 'power' (alias table) | 'uniform' | 'bvh' (adaptive light BVH)
+    light_sampler: str = "power"
 
 
 class Scene:
@@ -81,8 +87,9 @@ class Scene:
         self._light_sampler: str = "power"
 
     def set_light_sampler(self, mode: str) -> None:
-        """'power' (default) or 'uniform' (VolPath light_sampler option)."""
-        assert mode in ("power", "uniform"), mode
+        """'power' (default), 'uniform', or 'bvh' (adaptive BVH sampler,
+        bvh-light-sampler.jl)."""
+        assert mode in ("power", "uniform", "bvh"), mode
         self._light_sampler = mode
 
     def _medium_id(self, medium) -> int:
@@ -238,9 +245,13 @@ class Scene:
 
         lights = pack_lights(
             self._lights, area_tris, scene_radius=max(radius, 1e-3),
-            sampler=self._light_sampler,
+            sampler="power" if self._light_sampler == "bvh" else self._light_sampler,
         )
         n_lights = lights.n_flat
+
+        from ..lights.bvh_sampler import build_light_bvh
+
+        light_bvh = build_light_bvh(lights)
 
         return SceneData(
             bvh=bvh,
@@ -261,6 +272,7 @@ class Scene:
             media=pack_media(self._media),
             camera_medium=jnp.int32(self._camera_medium),
             lights=lights,
+            light_bvh=light_bvh,
             rgb2spec=srgb_table(),
             world_lo=jnp.asarray(world_lo),
             world_hi=jnp.asarray(world_hi),
@@ -270,4 +282,5 @@ class Scene:
             n_faces=int(len(p0)),
             has_media=len(self._media) > 0,
             traversal=traversal,
+            light_sampler=self._light_sampler,
         )

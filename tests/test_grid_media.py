@@ -1,0 +1,136 @@
+"""Grid media: DDA majorants, RGBGridMedium, procedural clouds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hikari_tpu.media.noise import fbm3d, generate_cloud_density, perlin3d, worley3d
+from hikari_tpu.media.sample import PASSED, SCATTERED, delta_track, ratio_track_tr
+from hikari_tpu.media.types import (
+    CloudVolume, GridMedium, RGBGridMedium, pack_media,
+)
+from hikari_tpu.spectral.rgb2spec import srgb_table
+
+
+def test_perlin_properties():
+    g = np.linspace(0.1, 7.9, 50)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    v = perlin3d(x, y, z)
+    assert -1.2 < v.min() and v.max() < 1.2
+    assert v.std() > 0.05
+    # zero at lattice points
+    iv = perlin3d(np.arange(5.0), np.arange(5.0), np.arange(5.0))
+    np.testing.assert_allclose(iv, 0.0, atol=1e-12)
+    # deterministic
+    np.testing.assert_array_equal(v, perlin3d(x, y, z))
+
+
+def test_worley_range():
+    g = np.linspace(0.0, 5.0, 40)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    v = worley3d(x, y, z)
+    assert v.min() >= 0.0 and v.max() < 2.0
+    assert v.std() > 0.05
+
+
+def test_cloud_density():
+    d = generate_cloud_density(24)
+    assert d.shape == (24, 24, 24)
+    assert d.min() >= 0.0
+    assert d.max() > 0.3
+    # spherical falloff: corners empty
+    assert d[0, 0, 0] == 0.0 and d[-1, -1, -1] == 0.0
+    # interior has structure
+    assert (d > 0.01).mean() > 0.02
+
+
+def _track(banks, o, d, t_max, n):
+    table = srgb_table()
+    lam = jnp.tile(jnp.array([[500.0, 550.0, 600.0, 650.0]]), (n, 1))
+    ones = jnp.ones((n, 4))
+    return delta_track(
+        banks, table, jnp.zeros((n,), jnp.int32), o, d, t_max, lam,
+        ones, ones, ones, jnp.ones((n,), bool), jnp.zeros((n,), bool),
+    )
+
+
+def test_grid_medium_dda_matches_analytic():
+    """A uniform density grid must reproduce Beer-Lambert through the DDA
+    majorant path exactly like a homogeneous medium."""
+    dens = np.full((8, 8, 8), 0.75, np.float32)
+    med = GridMedium(density=dens, bounds_lo=(0, 0, 0), bounds_hi=(1, 1, 1),
+                     sigma_a=(1.0, 1.0, 1.0), sigma_s=(0, 0, 0))
+    banks = pack_media([med])
+    n = 8192
+    o = jnp.tile(jnp.array([[0.5, 0.5, -0.5]]), (n, 1)) + \
+        jnp.arange(n)[:, None] * 1e-6
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    res = _track(banks, o, d, jnp.full((n,), 3.0), n)
+    frac_passed = float(jnp.mean((res.status == PASSED).astype(jnp.float32)))
+    expect = np.exp(-0.75 * 1.0)  # unit path length inside the box
+    assert abs(frac_passed - expect) < 0.03, (frac_passed, expect)
+
+
+def test_grid_medium_half_empty():
+    """Density only in z < 0.5: survival = exp(-sigma * 0.5); the empty
+    half must be skipped by the majorant cells."""
+    dens = np.zeros((16, 16, 16), np.float32)
+    dens[:8] = 2.0  # z in [0, 0.5)
+    med = GridMedium(density=dens, bounds_lo=(0, 0, 0), bounds_hi=(1, 1, 1),
+                     sigma_a=(1.0, 1.0, 1.0), sigma_s=(0, 0, 0))
+    banks = pack_media([med])
+    n = 8192
+    o = jnp.tile(jnp.array([[0.5, 0.5, -0.25]]), (n, 1)) + \
+        jnp.arange(n)[:, None] * 1e-6
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    res = _track(banks, o, d, jnp.full((n,), 3.0), n)
+    frac_passed = float(jnp.mean((res.status == PASSED).astype(jnp.float32)))
+    # voxel-centered trilinear softens the step edge; wide tolerance
+    expect = np.exp(-2.0 * 0.5)
+    assert abs(frac_passed - expect) < 0.06, (frac_passed, expect)
+
+
+def test_rgb_grid_medium():
+    """RGBGridMedium: wavelength-dependent absorption — red-absorbing fog
+    passes more at short wavelengths. Verify via ratio tracking T."""
+    sa = np.zeros((8, 8, 8, 3), np.float32)
+    sa[..., 0] = 2.0   # absorb red strongly
+    sa[..., 2] = 0.1
+    med = RGBGridMedium(sigma_a_grid=sa, bounds_lo=(0, 0, 0), bounds_hi=(1, 1, 1))
+    banks = pack_media([med])
+    table = srgb_table()
+    n = 4096
+    o = jnp.tile(jnp.array([[0.5, 0.5, -0.5]]), (n, 1)) + jnp.arange(n)[:, None] * 1e-6
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    # hero wavelengths: blue-ish 460 and red-ish 640
+    lam = jnp.tile(jnp.array([[460.0, 540.0, 600.0, 640.0]]), (n, 1))
+    T, r_l, r_u = ratio_track_tr(
+        banks, table, jnp.zeros((n,), jnp.int32), o, d, jnp.full((n,), 3.0),
+        lam, jnp.ones((n,), bool),
+    )
+    est = np.asarray(T / jnp.maximum(r_l, 1e-12)).mean(0)
+    assert est[0] > 2.0 * est[3], est  # blue transmits much more than red
+
+
+def test_cloud_volume_render():
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import VolPath, render
+    from hikari_tpu.lights.types import DistantLight
+    from hikari_tpu.materials.types import Interface, Matte
+    from hikari_tpu.scene.mesh import make_box, make_quad
+    from hikari_tpu.scene.scene import Scene
+
+    cloud = CloudVolume(resolution=32, bounds_lo=(-1, 0.2, -1),
+                        bounds_hi=(1, 2.2, 1), sigma_s=(3.0, 3.0, 3.0),
+                        sigma_a=(0.1, 0.1, 0.1), g=0.5)
+    s = Scene()
+    s.add(make_quad((-4, 0, -4), (4, 0, -4), (4, 0, 4), (-4, 0, 4)),
+          Matte(kd=(0.4, 0.4, 0.4)))
+    s.add(make_box((-1, 0.2, -1), (1, 2.2, 1)), Interface(), inside_medium=cloud)
+    s.add_light(DistantLight(direction=(0.3, -1.0, 0.2), radiance=(4.0, 4.0, 4.0)))
+    scene = s.build()
+    cam = make_perspective_camera((0, 1.4, -4.5), (0, 1.0, 0), (24, 24), fov_deg=50.0)
+    img = np.asarray(framebuffer(render(VolPath(max_depth=6, samples_per_pixel=4), scene, cam)))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01

@@ -1,0 +1,64 @@
+"""SPPM integrator tests."""
+
+import numpy as np
+
+from hikari_tpu.camera.camera import make_perspective_camera
+from hikari_tpu.integrators.sppm import SPPM, render_sppm
+from hikari_tpu.lights.types import PointLight
+from hikari_tpu.materials.types import Matte
+from hikari_tpu.scene.mesh import make_quad
+from hikari_tpu.scene.scene import Scene
+
+
+def _box_scene():
+    s = Scene()
+    white = Matte(kd=(0.73, 0.73, 0.73))
+    s.add(make_quad((-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1)), white)
+    s.add(make_quad((-1, 2, -1), (-1, 2, 1), (1, 2, 1), (1, 2, -1)), white)
+    s.add(make_quad((-1, 0, 1), (1, 0, 1), (1, 2, 1), (-1, 2, 1)), white)
+    s.add(make_quad((-1, 0, -1), (-1, 0, 1), (-1, 2, 1), (-1, 2, -1)),
+          Matte(kd=(0.65, 0.05, 0.05)))
+    s.add(make_quad((1, 0, -1), (1, 2, -1), (1, 2, 1), (1, 0, 1)),
+          Matte(kd=(0.12, 0.45, 0.15)))
+    s.add_light(PointLight(position=(0, 1.7, 0), intensity=(6, 6, 6)))
+    return s.build()
+
+
+def test_sppm_renders_direct_and_indirect():
+    scene = _box_scene()
+    cam = make_perspective_camera((0, 1.0, -2.6), (0, 1.0, 1.0), (24, 24), fov_deg=50.0)
+    integ = SPPM(iterations=3, photons_per_iteration=8192,
+                 initial_radius=0.25, max_depth=3)
+    img = np.asarray(render_sppm(integ, scene, cam))
+    assert img.shape == (24, 24, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+    # most of the closed box should be lit
+    assert (img.sum(-1) > 1e-3).mean() > 0.5
+    # color bleeding/indirect: nontrivial energy everywhere on walls
+    assert img.mean() > 0.01
+
+
+def test_sppm_radius_shrinks():
+    import jax.numpy as jnp
+
+    from hikari_tpu.integrators.sppm import _sppm_iteration
+
+    scene = _box_scene()
+    cam = make_perspective_camera((0, 1.0, -2.6), (0, 1.0, 1.0), (16, 16), fov_deg=50.0)
+    integ = SPPM(iterations=4, photons_per_iteration=8192,
+                 initial_radius=0.3, max_depth=3)
+    n = 16 * 16
+    state = dict(
+        r2=jnp.full((n,), integ.initial_radius ** 2),
+        n=jnp.zeros((n,)),
+        tau=jnp.zeros((n, 3)),
+        direct=jnp.zeros((n, 3)),
+        iters=jnp.zeros((), jnp.int32),
+    )
+    r2_0 = np.asarray(state["r2"]).copy()
+    for it in range(3):
+        state = _sppm_iteration(integ, scene, cam, state, jnp.int32(it))
+    r2_3 = np.asarray(state["r2"])
+    assert (r2_3 <= r2_0 + 1e-9).all()
+    assert (r2_3 < r2_0).mean() > 0.3, "radii should shrink where photons land"
