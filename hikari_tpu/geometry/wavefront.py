@@ -94,31 +94,50 @@ def _morton10(x):
 
 
 def ray_sort_keys(o, d, world_lo, world_hi):
-    """uint32 sort key: direction octant (3 bits) then origin Morton (27)."""
+    """uint32 sort key: direction octant (3 bits), fine direction Morton
+    (15 bits: 5/axis of |d|), then origin Morton (14 bits).
+
+    Tight direction sorting is what makes the per-tile frustum culling
+    effective: without it a 1024-ray tile spans a whole octant and the
+    interval slab test prunes almost nothing."""
     octant = (
         (d[..., 0] < 0).astype(jnp.uint32)
         | ((d[..., 1] < 0).astype(jnp.uint32) << 1)
         | ((d[..., 2] < 0).astype(jnp.uint32) << 2)
     )
+    ad = jnp.abs(d)
+    di = jnp.clip((ad * 31.0), 0.0, 31.0).astype(jnp.uint32)  # 5 bits/axis
+    dm = (
+        _morton10(di[..., 0]) | (_morton10(di[..., 1]) << 1)
+        | (_morton10(di[..., 2]) << 2)
+    ) & jnp.uint32(0x7FFF)
+
     ext = jnp.maximum(world_hi - world_lo, 1e-6)
     q = jnp.clip((o - world_lo) / ext, 0.0, 1.0)
-    qi = (q * 511.0).astype(jnp.uint32)  # 9 bits per axis
+    qi = (q * 31.0).astype(jnp.uint32)  # 5 bits per axis -> keep low 14
     m = (
         _morton10(qi[..., 0]) | (_morton10(qi[..., 1]) << 1)
         | (_morton10(qi[..., 2]) << 2)
-    )
-    return (octant << 27) | (m & jnp.uint32(0x07FFFFFF))
+    ) & jnp.uint32(0x3FFF)
+    # octant-major (sign-uniform tiles keep the interval culling exact),
+    # then origin locality, then fine direction: camera/shadow packets
+    # (shared origin cell) end up direction-sorted, bounce rays
+    # origin-sorted — both get tight bounding volumes
+    return (octant << 29) | (m << 15) | (dm & jnp.uint32(0x7FFF))
 
 
 # --- conservative tile x treelet culling --------------------------------------------
 
 
-def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles):
+def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
     """(n_tiles, T) bool: could any ray of tile i hit treelet t?
 
-    Interval slab test per octant-uniform tile; tiles with mixed direction
-    signs per axis fall back to 'cull nothing on that axis'."""
-    br = RAY_TILE
+    Interval slab test per octant-uniform *sub-frustum* (the 1024-ray
+    kernel tile is tested as the union of `sub` 128-ray frusta, which is
+    strictly tighter than its hull); sub-frusta with mixed direction signs
+    per axis fall back to 'cull nothing on that axis'."""
+    n_tiles = n_tiles * sub
+    br = RAY_TILE // sub
     ot = o.reshape(n_tiles, br, 3)
     dt = d.reshape(n_tiles, br, 3)
     tmt = t_max.reshape(n_tiles, br)
@@ -160,9 +179,11 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles):
     axis_enter_lo = jnp.where(su, axis_enter_lo, -3.0e37)
     axis_exit_hi = jnp.where(su, axis_exit_hi, 3.0e37)
 
-    t_near = jnp.max(axis_enter_lo, axis=-1)   # (n_tiles, T)
+    t_near = jnp.max(axis_enter_lo, axis=-1)   # (n_subtiles, T)
     t_far = jnp.min(axis_exit_hi, axis=-1)
-    return (t_near <= t_far * 1.0001) & (t_far > 0.0) & (t_near <= t_hi[:, None])
+    m = (t_near <= t_far * 1.0001) & (t_far > 0.0) & (t_near <= t_hi[:, None])
+    # union of the sub-frustum tests per kernel tile
+    return m.reshape(n_tiles // sub, sub, -1).any(axis=1)
 
 
 # --- the Pallas blocked-intersection kernel ------------------------------------------
@@ -331,8 +352,111 @@ def closest_hit_packets(
     return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
 
 
+def _occlusion_kernel(mask_ref,
+                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      tmax_ref, p0_ref, e1_ref, e2_ref, occ_ref):
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        # lanes with no shadow ray (t_max <= 0) are pre-resolved
+        occ_ref[:] = (tmax_ref[:] <= 0.0).astype(jnp.int32)
+
+    row = mask_ref[0]
+    cols_m = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    live = jnp.sum(jnp.where(cols_m == t_idx, row, 0))
+    # early-out: once every lane in the tile is resolved, skip the rest of
+    # the treelet sweep (shadow rays resolve after a few treelets)
+    unresolved = jnp.sum(1 - occ_ref[:])
+
+    @pl.when((live != 0) & (unresolved > 0))
+    def _work():
+        ox = ox_ref[:][..., None]
+        oy = oy_ref[:][..., None]
+        oz = oz_ref[:][..., None]
+        dx = dx_ref[:][..., None]
+        dy = dy_ref[:][..., None]
+        dz = dz_ref[:][..., None]
+        tp = p0_ref[:]
+        te1 = e1_ref[:]
+        te2 = e2_ref[:]
+        p0x, p0y, p0z = tp[:, 0:1, :], tp[:, 1:2, :], tp[:, 2:3, :]
+        e1x, e1y, e1z = te1[:, 0:1, :], te1[:, 1:2, :], te1[:, 2:3, :]
+        e2x, e2y, e2z = te2[:, 0:1, :], te2[:, 1:2, :], te2[:, 2:3, :]
+
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        sx = ox - p0x
+        sy = oy - p0y
+        sz = oz - p0z
+        u = (sx * hx + sy * hy + sz * hz) * inv_det
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        eps = 1e-7
+        hit = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
+            & (t > 1e-4) & (t < tmax_ref[:][..., None])
+        )
+        occ_ref[:] = occ_ref[:] | jnp.any(hit, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
                     active=None):
-    rec = closest_hit_packets(tl, o, d, t_max * 0.9999, world_lo, world_hi,
-                              interpret=interpret, active=active)
-    return rec.hit
+    """Occlusion-only sweep with per-tile early-out once every lane has
+    found a hit (shadow rays are the cheap half of the frame)."""
+    t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37) * 0.9999
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+    o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
+    # padding lanes carry t_max=0 -> pre-resolved
+    t_max = t_max.at[n:].set(0.0) if n_pad > n else t_max
+    n_tiles = n_pad // RAY_TILE
+    n_rows = n_pad // LANES
+    n_treelets = tl.lo.shape[0]
+
+    keys = ray_sort_keys(o, d, world_lo, world_hi)
+    keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(keys)
+    inv_order = jnp.argsort(order)
+    os_ = o[order]
+    ds = d[order]
+    ts = t_max[order]
+
+    mask = tile_treelet_mask(os_, ds, ts, tl, n_tiles).astype(jnp.int32)
+    t_pad = -(-n_treelets // 128) * 128
+    mask3 = jnp.zeros((n_tiles, 1, t_pad), jnp.int32).at[:, 0, :n_treelets].set(mask)
+
+    def rows(x):
+        return x.reshape(n_rows, LANES)
+
+    ray_comps = [rows(os_[:, 0]), rows(os_[:, 1]), rows(os_[:, 2]),
+                 rows(ds[:, 0]), rows(ds[:, 1]), rows(ds[:, 2]),
+                 rows(ts)]
+    row_spec = lambda: pl.BlockSpec((ROWS, LANES), lambda i, t: (i, 0))
+    tri_spec = lambda: pl.BlockSpec((1, 3, TREELET), lambda i, t: (t, 0, 0))
+    occ = pl.pallas_call(
+        _occlusion_kernel,
+        grid=(n_tiles, n_treelets),
+        in_specs=[
+            pl.BlockSpec((1, 1, t_pad), lambda i, t: (i, 0, 0)),
+            row_spec(), row_spec(), row_spec(),
+            row_spec(), row_spec(), row_spec(),
+            row_spec(),
+            tri_spec(), tri_spec(), tri_spec(),
+        ],
+        out_specs=[row_spec()],
+        out_shape=[jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(mask3, *ray_comps, tl.p0, tl.e1, tl.e2)[0]
+
+    occ = occ.reshape(-1)[inv_order][:n]
+    # lanes pre-resolved by t_max <= 0 (inactive/padding) are not occluded
+    return (occ > 0) & (t_max[:n] > 0.0)

@@ -125,6 +125,35 @@ class Scene:
         """push!(scene, light) (scene.jl:76-78)."""
         self._lights.append(light)
 
+    def update_material(self, mesh_id: int, material) -> None:
+        """Swap the material of a previously added mesh
+        (update_material!, scene.jl:104-112). Takes effect at the next
+        build()."""
+        assert 0 <= mesh_id < len(self._meshes), mesh_id
+        try:
+            mat_id = self._materials.index(material)
+        except ValueError:
+            mat_id = len(self._materials)
+            self._materials.append(material)
+        self._mesh_mat[mesh_id] = mat_id
+
+    def __repr__(self) -> str:
+        """Pretty summary (Base.show for Scene, scene.jl:180-216)."""
+        n_faces = sum(m.n_faces for m in self._meshes)
+        mats = {}
+        for m in self._materials:
+            mats[type(m).__name__] = mats.get(type(m).__name__, 0) + 1
+        lights = {}
+        for l in self._lights:
+            lights[type(l).__name__] = lights.get(type(l).__name__, 0) + 1
+        parts = [
+            f"Scene({len(self._meshes)} meshes, {n_faces} faces",
+            f"materials: {mats}" if mats else "",
+            f"lights: {lights}" if lights else "",
+            f"media: {len(self._media)}" if self._media else "",
+        ]
+        return ", ".join(p for p in parts if p) + ")"
+
     def build(self, traversal: str = "auto") -> SceneData:
         """sync!(scene): bake, BVH, pack (scene.jl:144-149).
 

@@ -107,3 +107,28 @@ def test_volpath_render_matches_across_engines():
     img_sl = np.asarray(framebuffer(render(vp, build("skiplink"), cam)))
     img_pk = np.asarray(framebuffer(render(vp, build("packets_interp"), cam)))
     np.testing.assert_allclose(img_pk, img_sl, atol=2e-5)
+
+
+def test_any_hit_kernel_matches_brute_force():
+    p0, p1, p2 = _random_tris(350, seed=5)
+    tl = build_treelets(p0, p1, p2)
+    from hikari_tpu.geometry.wavefront import any_hit_packets
+
+    rng = np.random.RandomState(6)
+    r = 700
+    o = rng.rand(r, 3).astype(np.float32) * 6 - 3
+    d = rng.randn(r, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = rng.rand(r).astype(np.float32) * 5 + 0.2
+    act = rng.rand(r) > 0.3
+    wl = jnp.asarray(p0.min(0))
+    wh = jnp.asarray(p0.max(0))
+    occ = np.asarray(any_hit_packets(
+        tl, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max), wl, wh,
+        interpret=True, active=jnp.asarray(act),
+    ))
+    ref = brute_force_closest_hit(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max * 0.9999),
+    )
+    assert (occ == (np.asarray(ref.hit) & act)).all()
