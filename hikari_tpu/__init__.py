@@ -34,7 +34,7 @@ from .scene.mesh import (
 
 # materials (reference aliases included: Diffuse/Dielectric/Metal/Plastic)
 from .materials.types import (
-    Aluminum, Brass, CoatedConductor, CoatedDiffuse, Conductor, Copper,
+    BK7, Aluminum, Brass, CoatedConductor, CoatedDiffuse, Conductor, Copper,
     Dielectric, Diffuse, DiffuseTransmission, Emissive, Glass, Gold,
     Interface, Matte, Metal, Mirror, Mix, Plastic, Silver, ThinDielectric,
 )

@@ -471,11 +471,12 @@ def render_lanes(
     medium_idx = zero.astype(jnp.int32) + scene.camera_medium
     prev_p = o  # last real scattering vertex (for area-light pdf)
     prev_ns = jnp.zeros_like(o)  # its shading normal (BVH-sampler pmf replay)
+    disp_term = zero != 0.0  # secondary wavelengths terminated (dispersion)
     n_lights = scene.n_lights
 
     def bounce(depth, carry):
         (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
-         medium_idx, prev_p, prev_ns, rays_traced) = carry
+         medium_idx, prev_p, prev_ns, disp_term, rays_traced) = carry
 
         t_max = jnp.full((n,), jnp.inf, jnp.float32) + zero
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
@@ -663,6 +664,14 @@ def render_lanes(
             jnp.where(med_go[..., None], r_l_new_m, r_l),
         )
         eta_scale = jnp.where(surf_go, eta_scale * bs.eta_scale, eta_scale)
+        # dispersion: refracting through a Cauchy glass makes the hero
+        # wavelength the only valid one (pbrt TerminateSecondary)
+        if mt.GLASS in scene.present_materials:
+            dispersive = (
+                (sd["mat_type"] == mt.GLASS)
+                & (scene.materials.glass_cauchy[jnp.maximum(sd["mat_idx"], 0)] > 0.0)
+            )
+            disp_term = disp_term | (surf_go & bs.transmission & dispersive)
         # interface crossings leave MIS state untouched; medium scatters are
         # never specular
         specular = jnp.where(surf_go, bs.specular, specular)
@@ -715,16 +724,21 @@ def render_lanes(
         alive = alive & survive
 
         return (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
-                medium_idx, prev_p, prev_ns, rays_traced)
+                medium_idx, prev_p, prev_ns, disp_term, rays_traced)
 
     carry = (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
-             medium_idx, prev_p, prev_ns, rays_traced)
+             medium_idx, prev_p, prev_ns, disp_term, rays_traced)
     carry = jax.lax.fori_loop(0, vp.max_depth, bounce, carry)
     L = carry[5]
-    rays_traced = carry[13]
+    disp_term = carry[13]
+    rays_traced = carry[14]
 
     # --- film accumulation (vp_accumulate_to_rgb_kernel!, volpath.jl:326-375)
-    xyz = spectral_to_xyz(L, lam, wl.pdf)
+    # dispersion termination: zero the secondary-lambda pdfs and give the
+    # hero 4x weight (pbrt SampledWavelengths.TerminateSecondary)
+    hero_only = jnp.zeros_like(wl.pdf).at[..., 0].set(0.25)
+    pdf_eff = jnp.where(disp_term[..., None], wl.pdf * hero_only, wl.pdf)
+    xyz = spectral_to_xyz(L, lam, pdf_eff)
     rgb = xyz_to_linear_srgb(xyz)
     mx = jnp.max(rgb, axis=-1)
     scale = jnp.where(

@@ -175,6 +175,13 @@ def _glass_alpha(banks, idx, regularize, tex):
     return ax, ay
 
 
+def glass_eta_hero(banks, idx, lam):
+    """Dispersive IOR at the hero wavelength: eta + B / lambda_um^2
+    (Cauchy; spectral IOR eval, spectral-eval.jl:207-221)."""
+    lam0_um2 = (lam[..., 0] * 1e-3) ** 2
+    return banks.glass_eta[idx] + banks.glass_cauchy[idx] / jnp.maximum(lam0_um2, 1e-6)
+
+
 def sample_glass(banks, idx, table, wo, lam, u2, uc, tex=None, regularize=None) -> BSDFSample:
     kr = rgb_albedo_eval(
         table, jnp.clip(_tex_rgb(banks.glass_kr, banks.glass_kr_tex, idx, tex), 0.0, 1.0), lam
@@ -182,7 +189,7 @@ def sample_glass(banks, idx, table, wo, lam, u2, uc, tex=None, regularize=None) 
     kt = rgb_albedo_eval(
         table, jnp.clip(_tex_rgb(banks.glass_kt, banks.glass_kt_tex, idx, tex), 0.0, 1.0), lam
     )
-    eta = banks.glass_eta[idx]
+    eta = glass_eta_hero(banks, idx, lam)
     ax, ay = _glass_alpha(banks, idx, regularize, tex)
     smooth = effectively_smooth(ax, ay)
 
@@ -272,7 +279,7 @@ def eval_glass(banks, idx, table, wo, wi, lam, regularize=None, tex=None):
     kt = rgb_albedo_eval(
         table, jnp.clip(_tex_rgb(banks.glass_kt, banks.glass_kt_tex, idx, tex), 0.0, 1.0), lam
     )
-    eta = banks.glass_eta[idx]
+    eta = glass_eta_hero(banks, idx, lam)
     ax, ay = _glass_alpha(banks, idx, regularize, tex)
     smooth = effectively_smooth(ax, ay)
 

@@ -54,7 +54,12 @@ class Mirror:
 
 @dataclass
 class Glass:
-    """Dielectric with reflection+transmission (uber-material.jl:209)."""
+    """Dielectric with reflection+transmission (uber-material.jl:209).
+
+    cauchy_b > 0 enables dispersion with eta(lambda) = eta + B/lambda_um^2
+    (the reference evaluates a spectral IOR the same way,
+    spectral-eval.jl:207-221); refraction then terminates the secondary
+    hero wavelengths like pbrt's SampledWavelengths.TerminateSecondary."""
 
     kr: tuple = (1.0, 1.0, 1.0)
     kt: tuple = (1.0, 1.0, 1.0)
@@ -62,6 +67,12 @@ class Glass:
     u_roughness: float = 0.0
     v_roughness: float = 0.0
     remap_roughness: bool = True
+    cauchy_b: float = 0.0  # um^2
+
+
+def BK7(**kw):
+    """Borosilicate crown glass with measured-ish dispersion."""
+    return Glass(eta=1.5046, cauchy_b=0.00420, **kw)
 
 
 @dataclass
@@ -205,6 +216,7 @@ class MaterialBanks:
     glass_kr: jnp.ndarray       # (Ng, 3)
     glass_kt: jnp.ndarray       # (Ng, 3)
     glass_eta: jnp.ndarray      # (Ng,)
+    glass_cauchy: jnp.ndarray   # (Ng,) Cauchy B (um^2); > 0 = dispersive
     glass_ax: jnp.ndarray       # (Ng,)
     glass_ay: jnp.ndarray       # (Ng,)
     cond_eta: jnp.ndarray       # (Nc, 471) dense spectral eta
@@ -300,7 +312,8 @@ def pack_materials(
 
     matte_kd, matte_sigma, matte_kd_tex = [], [], []
     mirror_kr, mirror_kr_tex = [], []
-    glass = {k: [] for k in ("kr", "kt", "eta", "ax", "ay", "kr_tex", "kt_tex", "rough_tex")}
+    glass = {k: [] for k in ("kr", "kt", "eta", "cauchy", "ax", "ay",
+                             "kr_tex", "kt_tex", "rough_tex")}
     cond_eta, cond_k, cond_ax, cond_ay, cond_rough_tex = [], [], [], [], []
     emis_le, emis_scale, emis_two, emis_le_tex = [], [], [], []
     thin_kr, thin_kt, thin_eta = [], [], []
@@ -350,6 +363,7 @@ def pack_materials(
             glass["kt_tex"].append(kt_tex)
             glass["rough_tex"].append(rough_tex)
             glass["eta"].append(m.eta)
+            glass["cauchy"].append(m.cauchy_b)
             glass["ax"].append(_remap_alpha_host(ur, m.remap_roughness))
             glass["ay"].append(_remap_alpha_host(vr, m.remap_roughness))
         elif isinstance(m, Conductor):
@@ -470,6 +484,7 @@ def pack_materials(
         glass_kr=pad3(glass["kr"], (1.0, 1.0, 1.0)),
         glass_kt=pad3(glass["kt"], (1.0, 1.0, 1.0)),
         glass_eta=pad1(glass["eta"], 1.5),
+        glass_cauchy=pad1(glass["cauchy"]),
         glass_ax=pad1(glass["ax"]),
         glass_ay=pad1(glass["ay"]),
         cond_eta=jnp.asarray(

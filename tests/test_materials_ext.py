@@ -141,3 +141,39 @@ def test_mix_material_render():
     # both children appear over the floor in roughly equal measure
     assert 0.2 < red_frac < 0.8, red_frac
     assert 0.2 < green_frac < 0.8, green_frac
+
+
+def test_dispersion_rainbow():
+    """A dispersive glass wedge must split white light: rendered hue varies
+    where a non-dispersive glass stays neutral. Statistical check: the
+    per-channel variance of refracted floor light is higher with cauchy_b."""
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import VolPath, render
+    from hikari_tpu.lights.types import DistantLight
+    from hikari_tpu.scene.mesh import make_box, make_quad
+    from hikari_tpu.scene.scene import Scene
+
+    def build(cauchy):
+        s = Scene()
+        s.add(make_quad((-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)),
+              Matte(kd=(0.8, 0.8, 0.8)))
+        s.add(make_box((-0.6, 0.4, -0.6), (0.6, 1.2, 0.6)),
+              Glass(eta=1.7, cauchy_b=cauchy))
+        s.add_light(DistantLight(direction=(0.35, -1.0, 0.1), radiance=(8, 8, 8)))
+        return s.build()
+
+    cam = make_perspective_camera((0, 2.2, -2.6), (0, 0.2, 0.2), (32, 32), fov_deg=50.0)
+    vp = VolPath(max_depth=5, samples_per_pixel=16)
+    img_d = np.asarray(framebuffer(render(vp, build(0.03), cam)))
+    img_n = np.asarray(framebuffer(render(vp, build(0.0), cam)))
+    assert np.isfinite(img_d).all() and np.isfinite(img_n).all()
+
+    def sat(img):
+        lum = img.mean(-1)
+        m = lum > np.percentile(lum[lum > 0], 60) if (lum > 0).any() else lum > 0
+        c = img[m]
+        return float(np.abs(c - c.mean(-1, keepdims=True)).mean())
+
+    s_d, s_n = sat(img_d), sat(img_n)
+    assert s_d > 1.3 * s_n, (s_d, s_n)
