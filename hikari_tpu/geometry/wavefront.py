@@ -41,7 +41,7 @@ from .traverse import HitRecord
 RAY_TILE = 1024    # rays per packet = 8 sublane rows x 128 lanes
 LANES = 128
 ROWS = RAY_TILE // LANES
-TREELET = 128      # triangles per treelet (TT)
+TREELET = 1024      # triangles per treelet (TT)
 
 
 @pytree_dataclass
