@@ -65,11 +65,20 @@ def run(res_px: int, n_iters: int):
 
     import os
 
-    scene = build_scene()
+    # BENCH_SCENE selects a BASELINE.md config: 'default' = the mesh-heavy
+    # cat-scene stand-in; 'fog' = the homogeneous-medium Cornell
+    which = os.environ.get("BENCH_SCENE", "default")
     res = (res_px, res_px)
-    camera = make_perspective_camera(
-        (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
-    )
+    if which == "fog":
+        scene = build_fog_scene()
+        camera = make_perspective_camera(
+            (0.0, 1.0, -2.6), (0.0, 1.0, 1.0), res, fov_deg=50.0
+        )
+    else:
+        scene = build_scene()
+        camera = make_perspective_camera(
+            (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
+        )
     filt = make_filter()
     vp = VolPath(max_depth=5, samples_per_pixel=256)
 
@@ -98,6 +107,31 @@ def run(res_px: int, n_iters: int):
     dt = time.perf_counter() - t0
 
     return total_rays / dt / 1e6
+
+
+def build_fog_scene():
+    """Homogeneous-medium Cornell (BASELINE.md medium_example config)."""
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import Emissive, Interface, Matte
+    from hikari_tpu.media.types import HomogeneousMedium
+    from hikari_tpu.scene.mesh import make_box, make_quad
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    white = Matte(kd=(0.73, 0.73, 0.73))
+    s.add(make_quad((-1, 0, 0), (1, 0, 0), (1, 0, 2), (-1, 0, 2)), white)
+    s.add(make_quad((-1, 2, 0), (-1, 2, 2), (1, 2, 2), (1, 2, 0)), white)
+    s.add(make_quad((-1, 0, 2), (1, 0, 2), (1, 2, 2), (-1, 2, 2)), white)
+    s.add(make_quad((-1, 0, 0), (-1, 0, 2), (-1, 2, 2), (-1, 2, 0)), Matte(kd=(0.65, 0.05, 0.05)))
+    s.add(make_quad((1, 0, 0), (1, 2, 0), (1, 2, 2), (1, 0, 2)), Matte(kd=(0.12, 0.45, 0.15)))
+    fog = HomogeneousMedium(sigma_a=(0.05,) * 3, sigma_s=(0.25,) * 3, g=0.3)
+    s.add(make_box((-0.95, 0.02, 0.05), (0.95, 1.95, 1.95)), Interface(), inside_medium=fog)
+    s.add(
+        make_quad((-0.3, 1.99, 0.7), (0.3, 1.99, 0.7), (0.3, 1.99, 1.3), (-0.3, 1.99, 1.3)),
+        Emissive(le=(1.0, 0.9, 0.7), scale=20.0),
+    )
+    s.add_light(PointLight(position=(0.0, 1.5, 0.3), intensity=(2.0, 2.0, 2.0)))
+    return s.build()
 
 
 def main():

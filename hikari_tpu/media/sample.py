@@ -26,7 +26,12 @@ from ..sampling.hashes import mix_bits
 from ..spectral.rgb2spec import rgb_unbounded_eval
 from .types import GRID, HOMOGENEOUS, MAJORANT_RES, RGBGRID, MediumBanks
 
-MAX_TRACK_STEPS = 1024  # reference cap: 1024 samples (delta-tracking.jl:343)
+# Lockstep tracking-step cap. The reference caps at 1024 samples
+# (delta-tracking.jl:343) with 256 majorant segments; our DDA consumes one
+# step per cell crossing as well, and 512 comfortably covers dense clouds
+# (sigma_maj * diameter ~ 40 mean free paths + ~50 cell crossings) while
+# keeping single-dispatch program runtimes inside device watchdog limits.
+MAX_TRACK_STEPS = 512
 ONE_MINUS_EPS = jnp.float32(1.0 - 2**-24)
 
 # lane status codes for delta tracking
