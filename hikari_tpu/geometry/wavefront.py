@@ -42,6 +42,7 @@ RAY_TILE = 1024    # rays per packet = 8 sublane rows x 128 lanes
 LANES = 128
 ROWS = RAY_TILE // LANES
 TREELET = 1024      # triangles per treelet (TT)
+KCHUNK = 1024       # in-kernel tri-axis chunk (VMEM sweet spot)
 
 
 @pytree_dataclass
@@ -216,54 +217,60 @@ def _intersect_kernel(mask_ref,
         dx = dx_ref[:][..., None]
         dy = dy_ref[:][..., None]
         dz = dz_ref[:][..., None]
-        # triangles: (1, 3, TT) -> (1, 1, TT) per component
-        tp = p0_ref[:]
-        te1 = e1_ref[:]
-        te2 = e2_ref[:]
-        p0x, p0y, p0z = tp[:, 0:1, :], tp[:, 1:2, :], tp[:, 2:3, :]
-        e1x, e1y, e1z = te1[:, 0:1, :], te1[:, 1:2, :], te1[:, 2:3, :]
-        e2x, e2y, e2z = te2[:, 0:1, :], te2[:, 1:2, :], te2[:, 2:3, :]
 
-        # Moller-Trumbore over the (ROWS, LANES, TT) block
-        hx = dy * e2z - dz * e2y
-        hy = dz * e2x - dx * e2z
-        hz = dx * e2y - dy * e2x
-        det = e1x * hx + e1y * hy + e1z * hz
-        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        # the treelet is processed in KCHUNK-wide slices: keeps live VMEM at
+        # the sweet spot while the grid amortizes per-step overheads over
+        # the full TREELET
+        for k in range(TREELET // KCHUNK):
+            s = slice(k * KCHUNK, (k + 1) * KCHUNK)
+            # triangles: (1, 3, KCHUNK) -> (1, 1, KCHUNK) per component
+            tp = p0_ref[:, :, s]
+            te1 = e1_ref[:, :, s]
+            te2 = e2_ref[:, :, s]
+            p0x, p0y, p0z = tp[:, 0:1, :], tp[:, 1:2, :], tp[:, 2:3, :]
+            e1x, e1y, e1z = te1[:, 0:1, :], te1[:, 1:2, :], te1[:, 2:3, :]
+            e2x, e2y, e2z = te2[:, 0:1, :], te2[:, 1:2, :], te2[:, 2:3, :]
 
-        sx = ox - p0x
-        sy = oy - p0y
-        sz = oz - p0z
-        u = (sx * hx + sy * hy + sz * hz) * inv_det
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            # Moller-Trumbore over the (ROWS, LANES, KCHUNK) block
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
 
-        eps = 1e-7
-        hit = (
-            (jnp.abs(det) > 1e-12)
-            & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
-            & (t > 1e-4)
-        )
-        t_best = t_ref[:]                                     # (ROWS, LANES)
-        t_cand = jnp.where(hit, t, 3.0e38)
-        t_new = jnp.min(t_cand, axis=-1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 2)
-        j = jnp.min(
-            jnp.where(t_cand <= t_new[..., None], cols, jnp.int32(2**30)),
-            axis=-1,
-        )
-        onehot = (cols == j[..., None]).astype(t.dtype)
-        u_new = jnp.sum(u * onehot, axis=-1)
-        v_new = jnp.sum(v * onehot, axis=-1)
-        better = t_new < t_best
-        t_ref[:] = jnp.where(better, t_new, t_best)
-        base = t_idx * TREELET
-        tri_ref[:] = jnp.where(better, base + j, tri_ref[:])
-        b1_ref[:] = jnp.where(better, u_new, b1_ref[:])
-        b2_ref[:] = jnp.where(better, v_new, b2_ref[:])
+            sx = ox - p0x
+            sy = oy - p0y
+            sz = oz - p0z
+            u = (sx * hx + sy * hy + sz * hz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+            eps = 1e-7
+            hit = (
+                (jnp.abs(det) > 1e-12)
+                & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
+                & (t > 1e-4)
+            )
+            t_best = t_ref[:]                                 # (ROWS, LANES)
+            t_cand = jnp.where(hit, t, 3.0e38)
+            t_new = jnp.min(t_cand, axis=-1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 2)
+            j = jnp.min(
+                jnp.where(t_cand <= t_new[..., None], cols, jnp.int32(2**30)),
+                axis=-1,
+            )
+            onehot = (cols == j[..., None]).astype(t.dtype)
+            u_new = jnp.sum(u * onehot, axis=-1)
+            v_new = jnp.sum(v * onehot, axis=-1)
+            better = t_new < t_best
+            t_ref[:] = jnp.where(better, t_new, t_best)
+            base = t_idx * TREELET + k * KCHUNK
+            tri_ref[:] = jnp.where(better, base + j, tri_ref[:])
+            b1_ref[:] = jnp.where(better, u_new, b1_ref[:])
+            b2_ref[:] = jnp.where(better, v_new, b2_ref[:])
 
 
 def _pad_rays(o, d, t_max):
@@ -377,34 +384,36 @@ def _occlusion_kernel(mask_ref,
         dx = dx_ref[:][..., None]
         dy = dy_ref[:][..., None]
         dz = dz_ref[:][..., None]
-        tp = p0_ref[:]
-        te1 = e1_ref[:]
-        te2 = e2_ref[:]
-        p0x, p0y, p0z = tp[:, 0:1, :], tp[:, 1:2, :], tp[:, 2:3, :]
-        e1x, e1y, e1z = te1[:, 0:1, :], te1[:, 1:2, :], te1[:, 2:3, :]
-        e2x, e2y, e2z = te2[:, 0:1, :], te2[:, 1:2, :], te2[:, 2:3, :]
+        for k in range(TREELET // KCHUNK):
+            s = slice(k * KCHUNK, (k + 1) * KCHUNK)
+            tp = p0_ref[:, :, s]
+            te1 = e1_ref[:, :, s]
+            te2 = e2_ref[:, :, s]
+            p0x, p0y, p0z = tp[:, 0:1, :], tp[:, 1:2, :], tp[:, 2:3, :]
+            e1x, e1y, e1z = te1[:, 0:1, :], te1[:, 1:2, :], te1[:, 2:3, :]
+            e2x, e2y, e2z = te2[:, 0:1, :], te2[:, 1:2, :], te2[:, 2:3, :]
 
-        hx = dy * e2z - dz * e2y
-        hy = dz * e2x - dx * e2z
-        hz = dx * e2y - dy * e2x
-        det = e1x * hx + e1y * hy + e1z * hz
-        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-        sx = ox - p0x
-        sy = oy - p0y
-        sz = oz - p0z
-        u = (sx * hx + sy * hy + sz * hz) * inv_det
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        eps = 1e-7
-        hit = (
-            (jnp.abs(det) > 1e-12)
-            & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
-            & (t > 1e-4) & (t < tmax_ref[:][..., None])
-        )
-        occ_ref[:] = occ_ref[:] | jnp.any(hit, axis=-1).astype(jnp.int32)
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            sx = ox - p0x
+            sy = oy - p0y
+            sz = oz - p0z
+            u = (sx * hx + sy * hy + sz * hz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            eps = 1e-7
+            hit = (
+                (jnp.abs(det) > 1e-12)
+                & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
+                & (t > 1e-4) & (t < tmax_ref[:][..., None])
+            )
+            occ_ref[:] = occ_ref[:] | jnp.any(hit, axis=-1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
