@@ -165,6 +165,13 @@ class LightBanks:
     # flattened list for the light sampler
     light_type: jnp.ndarray      # (NL,)
     light_idx: jnp.ndarray       # (NL,)
+    # precomputed illuminant-uplift coefficients [c0,c1,c2,scale] so
+    # sample_li evaluates a polynomial per lane instead of the trilinear
+    # rgb2spec lookup (includes the 1/D65_PHOTOMETRIC normalization)
+    point_i_c4: jnp.ndarray      # (Np, 4)
+    spot_i_c4: jnp.ndarray       # (Ns, 4)
+    dist_l_c4: jnp.ndarray       # (Nd, 4)
+    area_le_c4: jnp.ndarray      # (Na, 4)
     # power sampler (light-sampler.jl:230-278): per-flat-light pmf + Walker
     # alias table; sampling is one gather + compare per lane
     pmf: jnp.ndarray             # (NL,)
@@ -289,6 +296,16 @@ def pack_lights(
         q_np = np.ones(1, np.float32)
         j_np = np.zeros(1, np.int32)
 
+    from ..spectral.cie import D65_PHOTOMETRIC
+    from ..spectral.rgb2spec import srgb_table, unbounded_coeff4
+
+    table = srgb_table()
+    inv_photo = 1.0 / D65_PHOTOMETRIC
+
+    def illum_c4(rows3):
+        c4 = unbounded_coeff4(table, rows3)
+        return c4.at[..., 3].mul(inv_photo)
+
     return LightBanks(
         point_pos=pad3(pp), point_i=pad3(pi),
         spot_pos=pad3(sp), spot_dir=pad3(sd, (0, 0, -1)), spot_i=pad3(si),
@@ -300,6 +317,10 @@ def pack_lights(
         area_two_sided=pad1(a_two, False, bool),
         area_n=jnp.asarray(triangle_normal(a_p0j, a_p1j, a_p2j)),
         area_area=jnp.asarray(triangle_area(a_p0j, a_p1j, a_p2j)),
+        point_i_c4=illum_c4(pad3(pi)),
+        spot_i_c4=illum_c4(pad3(si)),
+        dist_l_c4=illum_c4(pad3(dl)),
+        area_le_c4=illum_c4(pad3(a_le)),
         env_image=env_image, env_dist=env_dist, env_scale=env_scale,
         has_env=env is not None,
         light_type=jnp.asarray(types or [POINT], jnp.int32),
@@ -368,7 +389,11 @@ def sample_li(
     dist2 = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-12)
     dist = jnp.sqrt(dist2)
     wi_pt = to_l / dist[..., None]
-    li_pt = _illum(table, banks.point_i[lidx % banks.point_i.shape[0]], lam) / dist2[..., None]
+    from ..spectral.rgb2spec import coeff4_illuminant_eval
+
+    li_pt = coeff4_illuminant_eval(
+        banks.point_i_c4[lidx % banks.point_i_c4.shape[0]], lam
+    ) / dist2[..., None]
 
     # --- spot
     sp = banks.spot_pos[lidx % banks.spot_pos.shape[0]]
@@ -381,14 +406,14 @@ def sample_li(
     cf = banks.spot_cos_falloff[lidx % banks.spot_cos_falloff.shape[0]]
     t = jnp.clip((cos_t - ct) / jnp.maximum(cf - ct, 1e-6), 0.0, 1.0)
     falloff = (t * t) * (t * t)  # pbrt quartic falloff between cone edges
-    li_sp = _illum(table, banks.spot_i[lidx % banks.spot_i.shape[0]], lam) * (
-        falloff / d2s
-    )[..., None]
+    li_sp = coeff4_illuminant_eval(
+        banks.spot_i_c4[lidx % banks.spot_i_c4.shape[0]], lam
+    ) * (falloff / d2s)[..., None]
 
     # --- distant
     dd = banks.dist_dir[lidx % banks.dist_dir.shape[0]]
     wi_di = -dd
-    li_di = _illum(table, banks.dist_l[lidx % banks.dist_l.shape[0]], lam)
+    li_di = coeff4_illuminant_eval(banks.dist_l_c4[lidx % banks.dist_l_c4.shape[0]], lam)
     t_di = 2.0 * scene_radius
 
     # --- area: uniform triangle sampling (diffuse-area.jl:25-60)
@@ -404,7 +429,7 @@ def sample_li(
     area = jnp.maximum(banks.area_area[ai], 1e-12)
     pdf_ar = d2a / jnp.maximum(jnp.abs(cos_l) * area, 1e-9)
     li_ar = jnp.where(
-        facing[..., None], _illum(table, banks.area_le[ai], lam), 0.0
+        facing[..., None], coeff4_illuminant_eval(banks.area_le_c4[ai], lam), 0.0
     )
 
     # --- environment: importance-sample the equal-area map

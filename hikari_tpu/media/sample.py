@@ -23,7 +23,7 @@ from ..core.pytree import pytree_dataclass
 from ..core.vecmath import coordinate_system, normalize
 from ..sampling import u64
 from ..sampling.hashes import mix_bits
-from ..spectral.rgb2spec import rgb_unbounded_eval
+from ..spectral.rgb2spec import coeff4_eval, rgb_unbounded_eval
 from .types import GRID, HOMOGENEOUS, MAJORANT_RES, RGBGRID, MediumBanks
 
 # Lockstep tracking-step cap. The reference caps at 1024 samples
@@ -198,9 +198,9 @@ def medium_properties(banks: MediumBanks, table, midx, p, lam):
     """sigma_a, sigma_s, Le at wavelengths lam; HG g (sample_point analog).
 
     midx (...,), p (...,3), lam (...,4) -> spectra (...,4), g (...,)."""
-    sa = rgb_unbounded_eval(table, banks.sigma_a[midx], lam)
-    ss = rgb_unbounded_eval(table, banks.sigma_s[midx], lam)
-    le = rgb_unbounded_eval(table, banks.le[midx], lam)
+    sa = coeff4_eval(banks.sigma_a_c4[midx], lam)
+    ss = coeff4_eval(banks.sigma_s_c4[midx], lam)
+    le = coeff4_eval(banks.le_c4[midx], lam)
     g = banks.g[midx]
     mtype = banks.med_type[midx]
     if banks.has_grid:
@@ -230,8 +230,8 @@ def _spectral_majorant_base(banks: MediumBanks, table, midx, lam):
     bounds sigma_t. GRID/HOMOGENEOUS: uplift(sa+ss); RGBGRID: the cell
     already stores an absolute max-component sigma_t, use a safety-padded
     constant (uplift of rgb can locally exceed max-component by a little)."""
-    sa = rgb_unbounded_eval(table, banks.sigma_a[midx], lam)
-    ss = rgb_unbounded_eval(table, banks.sigma_s[midx], lam)
+    sa = coeff4_eval(banks.sigma_a_c4[midx], lam)
+    ss = coeff4_eval(banks.sigma_s_c4[midx], lam)
     base = sa + ss
     is_rgb = banks.med_type[midx] == RGBGRID
     return jnp.where(is_rgb[..., None], 1.15, base)
@@ -272,8 +272,8 @@ def majorant_cell_exit(banks: MediumBanks, midx, o, d, t, t1):
 
 def majorant(banks: MediumBanks, table, midx, lam):
     """Global spectral majorant (used by the shadow ratio tracker)."""
-    sa = rgb_unbounded_eval(table, banks.sigma_a[midx], lam)
-    ss = rgb_unbounded_eval(table, banks.sigma_s[midx], lam)
+    sa = coeff4_eval(banks.sigma_a_c4[midx], lam)
+    ss = coeff4_eval(banks.sigma_s_c4[midx], lam)
     base = sa + ss
     is_rgb = banks.med_type[midx] == RGBGRID
     base = jnp.where(is_rgb[..., None], 1.15, base)

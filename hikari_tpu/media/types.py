@@ -136,6 +136,11 @@ class MediumBanks:
     sigma_a: jnp.ndarray       # (M, 3) rgb, pre-scaled (per-density for grids)
     sigma_s: jnp.ndarray       # (M, 3)
     le: jnp.ndarray            # (M, 3)
+    # precomputed uplift coefficients [c0,c1,c2,scale] for the hot tracking
+    # loop (one polynomial eval instead of a trilinear table lookup/event)
+    sigma_a_c4: jnp.ndarray    # (M, 4)
+    sigma_s_c4: jnp.ndarray    # (M, 4)
+    le_c4: jnp.ndarray         # (M, 4)
     g: jnp.ndarray             # (M,)
     # spatial media (zeros for homogeneous entries)
     bounds_lo: jnp.ndarray     # (M, 3)
@@ -269,6 +274,9 @@ def pack_media(media: list) -> MediumBanks:
             grid_offset=jnp.zeros((1,), jnp.int32),
             grid_res=jnp.ones((1, 3), jnp.int32),
             density=jnp.zeros((1,), jnp.float32),
+            sigma_a_c4=jnp.zeros((1, 4), jnp.float32).at[:, 2].set(-1e10),
+            sigma_s_c4=jnp.zeros((1, 4), jnp.float32).at[:, 2].set(-1e10),
+            le_c4=jnp.zeros((1, 4), jnp.float32).at[:, 2].set(-1e10),
             rgb_sa=jnp.zeros((1, 3), jnp.float32),
             rgb_ss=jnp.zeros((1, 3), jnp.float32),
             rgb_le=jnp.zeros((1, 3), jnp.float32),
@@ -279,11 +287,20 @@ def pack_media(media: list) -> MediumBanks:
             has_grid=False,
         )
 
+    from ..spectral.rgb2spec import srgb_table, unbounded_coeff4
+
+    table = srgb_table()
+    sa_np = jnp.asarray(np.stack(sa), jnp.float32)
+    ss_np = jnp.asarray(np.stack(ss), jnp.float32)
+    le_np = jnp.asarray(np.stack(le), jnp.float32)
     return MediumBanks(
         med_type=jnp.asarray(types, jnp.int32),
-        sigma_a=jnp.asarray(np.stack(sa), jnp.float32),
-        sigma_s=jnp.asarray(np.stack(ss), jnp.float32),
-        le=jnp.asarray(np.stack(le), jnp.float32),
+        sigma_a=sa_np,
+        sigma_s=ss_np,
+        le=le_np,
+        sigma_a_c4=unbounded_coeff4(table, sa_np),
+        sigma_s_c4=unbounded_coeff4(table, ss_np),
+        le_c4=unbounded_coeff4(table, le_np),
         g=jnp.asarray(g, jnp.float32),
         bounds_lo=jnp.asarray(np.asarray(blo, np.float32)),
         bounds_hi=jnp.asarray(np.asarray(bhi, np.float32)),

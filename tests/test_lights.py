@@ -35,6 +35,8 @@ def test_alias_table_distribution():
         env_dist=None, env_scale=jnp.float32(0.0), has_env=False,
         light_type=jnp.zeros((7,), jnp.int32),
         light_idx=jnp.zeros((7,), jnp.int32),
+        point_i_c4=jnp.zeros((1, 4)), spot_i_c4=jnp.zeros((1, 4)),
+        dist_l_c4=jnp.zeros((1, 4)), area_le_c4=jnp.zeros((1, 4)),
         pmf=jnp.asarray(pmf), alias_q=jnp.asarray(q), alias_j=jnp.asarray(j),
         area_flat_base=0, n_flat=7,
     )
