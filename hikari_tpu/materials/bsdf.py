@@ -41,6 +41,24 @@ def _tex_rgb(banks_field, tex_field, idx, tex):
     return eval_rgb(atlas, tex_field[idx], const, ctx)
 
 
+def _albedo_spec(banks, c4_field, rgb_field, tex_field, idx, tex, table, lam):
+    """Spectral reflectance of a possibly-textured RGB field: constant
+    lanes use the precomputed sigmoid coefficients (one polynomial eval);
+    the runtime table uplift only exists in scenes that actually bind
+    textures (banks.has_textures is static)."""
+    from ..spectral.rgb2spec import coeff4_eval
+    from ..textures.atlas import CONST_TEX
+
+    spec = coeff4_eval(c4_field[idx], lam)
+    if tex is None or not banks.has_textures:
+        return spec
+    atlas, ctx = tex
+    t = tex_field[idx]
+    rgb_t = eval_rgb(atlas, t, rgb_field[idx], ctx)
+    spec_t = rgb_albedo_eval(table, jnp.clip(rgb_t, 0.0, 1.0), lam)
+    return jnp.where((t == CONST_TEX)[..., None], spec, spec_t)
+
+
 def _tex_alpha(base_alpha, tex_field, idx, tex):
     """Textured roughness: texture value (remapped sqrt) replaces the
     baked-in alpha where a texture is bound."""
@@ -115,8 +133,8 @@ def sample_matte(
     banks: MaterialBanks, idx, table: RGBToSpectrumTable, wo, lam, u2, uc,
     tex=None,
 ) -> BSDFSample:
-    kd_rgb = _tex_rgb(banks.matte_kd, banks.matte_kd_tex, idx, tex)
-    kd = rgb_albedo_eval(table, jnp.clip(kd_rgb, 0.0, 1.0), lam)
+    kd = _albedo_spec(banks, banks.matte_kd_c4, banks.matte_kd,
+                      banks.matte_kd_tex, idx, tex, table, lam)
     sigma = banks.matte_sigma[idx]
     wi = cosine_sample_hemisphere(u2)
     wi = jnp.where(wo[..., 2:3] < 0.0, wi * jnp.array([1.0, 1.0, -1.0]), wi)
@@ -133,8 +151,8 @@ def sample_matte(
 
 
 def eval_matte(banks, idx, table, wo, wi, lam, tex=None):
-    kd_rgb = _tex_rgb(banks.matte_kd, banks.matte_kd_tex, idx, tex)
-    kd = rgb_albedo_eval(table, jnp.clip(kd_rgb, 0.0, 1.0), lam)
+    kd = _albedo_spec(banks, banks.matte_kd_c4, banks.matte_kd,
+                      banks.matte_kd_tex, idx, tex, table, lam)
     sigma = banks.matte_sigma[idx]
     same = same_hemisphere(wo, wi)
     f = kd * INV_PI
@@ -148,8 +166,8 @@ def eval_matte(banks, idx, table, wo, wi, lam, tex=None):
 
 
 def sample_mirror(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
-    kr_rgb = _tex_rgb(banks.mirror_kr, banks.mirror_kr_tex, idx, tex)
-    kr = rgb_albedo_eval(table, jnp.clip(kr_rgb, 0.0, 1.0), lam)
+    kr = _albedo_spec(banks, banks.mirror_kr_c4, banks.mirror_kr,
+                      banks.mirror_kr_tex, idx, tex, table, lam)
     wi = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
     cos_i = jnp.maximum(abs_cos_theta(wi), 1e-6)
     f = kr / cos_i[..., None]
@@ -183,12 +201,10 @@ def glass_eta_hero(banks, idx, lam):
 
 
 def sample_glass(banks, idx, table, wo, lam, u2, uc, tex=None, regularize=None) -> BSDFSample:
-    kr = rgb_albedo_eval(
-        table, jnp.clip(_tex_rgb(banks.glass_kr, banks.glass_kr_tex, idx, tex), 0.0, 1.0), lam
-    )
-    kt = rgb_albedo_eval(
-        table, jnp.clip(_tex_rgb(banks.glass_kt, banks.glass_kt_tex, idx, tex), 0.0, 1.0), lam
-    )
+    kr = _albedo_spec(banks, banks.glass_kr_c4, banks.glass_kr,
+                      banks.glass_kr_tex, idx, tex, table, lam)
+    kt = _albedo_spec(banks, banks.glass_kt_c4, banks.glass_kt,
+                      banks.glass_kt_tex, idx, tex, table, lam)
     eta = glass_eta_hero(banks, idx, lam)
     ax, ay = _glass_alpha(banks, idx, regularize, tex)
     smooth = effectively_smooth(ax, ay)
@@ -273,12 +289,10 @@ def sample_glass(banks, idx, table, wo, lam, u2, uc, tex=None, regularize=None) 
 def eval_glass(banks, idx, table, wo, wi, lam, regularize=None, tex=None):
     """(f, pdf) of the rough-dielectric lobe for NEE MIS; zero when the
     surface is effectively smooth (delta lobes carry no NEE weight)."""
-    kr = rgb_albedo_eval(
-        table, jnp.clip(_tex_rgb(banks.glass_kr, banks.glass_kr_tex, idx, tex), 0.0, 1.0), lam
-    )
-    kt = rgb_albedo_eval(
-        table, jnp.clip(_tex_rgb(banks.glass_kt, banks.glass_kt_tex, idx, tex), 0.0, 1.0), lam
-    )
+    kr = _albedo_spec(banks, banks.glass_kr_c4, banks.glass_kr,
+                      banks.glass_kr_tex, idx, tex, table, lam)
+    kt = _albedo_spec(banks, banks.glass_kt_c4, banks.glass_kt,
+                      banks.glass_kt_tex, idx, tex, table, lam)
     eta = glass_eta_hero(banks, idx, lam)
     ax, ay = _glass_alpha(banks, idx, regularize, tex)
     smooth = effectively_smooth(ax, ay)
@@ -449,8 +463,10 @@ def dielectric_interface_f(wo, wi, eta, ax, ay):
 
 
 def sample_thin_dielectric(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
-    kr = rgb_albedo_eval(table, jnp.clip(banks.thin_kr[idx], 0.0, 1.0), lam)
-    kt = rgb_albedo_eval(table, jnp.clip(banks.thin_kt[idx], 0.0, 1.0), lam)
+    from ..spectral.rgb2spec import coeff4_eval
+
+    kr = coeff4_eval(banks.thin_kr_c4[idx], lam)
+    kt = coeff4_eval(banks.thin_kt_c4[idx], lam)
     eta = banks.thin_eta[idx]
     cos_o = wo[..., 2]
 
@@ -485,10 +501,10 @@ def sample_thin_dielectric(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDF
 
 
 def _dt_albedos(banks, idx, table, lam, tex):
-    r_rgb = _tex_rgb(banks.dt_refl, banks.dt_refl_tex, idx, tex)
-    t_rgb = _tex_rgb(banks.dt_trans, banks.dt_trans_tex, idx, tex)
-    r = rgb_albedo_eval(table, jnp.clip(r_rgb, 0.0, 1.0), lam)
-    t = rgb_albedo_eval(table, jnp.clip(t_rgb, 0.0, 1.0), lam)
+    r = _albedo_spec(banks, banks.dt_refl_c4, banks.dt_refl,
+                     banks.dt_refl_tex, idx, tex, table, lam)
+    t = _albedo_spec(banks, banks.dt_trans_c4, banks.dt_trans,
+                     banks.dt_trans_tex, idx, tex, table, lam)
     pr = jnp.maximum(jnp.max(r, -1), 1e-9)
     pt = jnp.maximum(jnp.max(t, -1), 0.0)
     return r, t, pr / (pr + pt)
@@ -601,8 +617,16 @@ def emitted_radiance(banks, idx, table, lam, cos_wo, tex=None):
     from ..spectral.cie import D65_PHOTOMETRIC
     from ..spectral.rgb2spec import rgb_illuminant_eval
 
-    le_rgb = _tex_rgb(banks.emissive_le, banks.emissive_le_tex, idx, tex)
-    le = rgb_illuminant_eval(table, jnp.maximum(le_rgb, 0.0), lam)
+    from ..spectral.rgb2spec import coeff4_illuminant_eval
+    from ..textures.atlas import CONST_TEX
+
+    le = coeff4_illuminant_eval(banks.emissive_le_c4[idx], lam)
+    if tex is not None and banks.has_textures:
+        atlas, ctx = tex
+        t_id = banks.emissive_le_tex[idx]
+        rgb_t = eval_rgb(atlas, t_id, banks.emissive_le[idx], ctx)
+        le_t = rgb_illuminant_eval(table, jnp.maximum(rgb_t, 0.0), lam)
+        le = jnp.where((t_id == CONST_TEX)[..., None], le, le_t)
     le = le * (banks.emissive_scale[idx] / D65_PHOTOMETRIC)[..., None]
     front = (cos_wo > 0.0) | banks.emissive_two_sided[idx]
     return jnp.where(front[..., None], le, 0.0)

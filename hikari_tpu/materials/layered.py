@@ -28,10 +28,10 @@ import jax.numpy as jnp
 
 from ..core.vecmath import abs_cos_theta
 from ..sampling.distributions import cosine_sample_hemisphere
-from ..spectral.rgb2spec import rgb_albedo_eval
+from ..spectral.rgb2spec import coeff4_eval, rgb_albedo_eval
 from .bsdf import (
     INV_PI, BSDFSample, dielectric_interface_f, dielectric_interface_sample,
-    _sample_dense_spectrum, _tex_rgb,
+    _albedo_spec, _sample_dense_spectrum, _tex_rgb,
 )
 from .fresnel import fresnel_conductor
 from .microfacet import (
@@ -398,10 +398,9 @@ def layered_f(
 
 
 def sample_coated_diffuse(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
-    refl = rgb_albedo_eval(
-        table, jnp.clip(_tex_rgb(banks.cd_refl, banks.cd_refl_tex, idx, tex), 0.0, 1.0), lam
-    )
-    alb = rgb_albedo_eval(table, jnp.clip(banks.cd_albedo[idx], 0.0, 1.0), lam)
+    refl = _albedo_spec(banks, banks.cd_refl_c4, banks.cd_refl,
+                        banks.cd_refl_tex, idx, tex, table, lam)
+    alb = coeff4_eval(banks.cd_albedo_c4[idx], lam)
 
     def bottom(w_down, ub2):
         wi, wgt = _bottom_diffuse_sample(refl, w_down, ub2)
@@ -416,10 +415,9 @@ def sample_coated_diffuse(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFS
 
 
 def eval_coated_diffuse(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
-    refl = rgb_albedo_eval(
-        table, jnp.clip(_tex_rgb(banks.cd_refl, banks.cd_refl_tex, idx, tex), 0.0, 1.0), lam
-    )
-    alb = rgb_albedo_eval(table, jnp.clip(banks.cd_albedo[idx], 0.0, 1.0), lam)
+    refl = _albedo_spec(banks, banks.cd_refl_c4, banks.cd_refl,
+                        banks.cd_refl_tex, idx, tex, table, lam)
+    alb = coeff4_eval(banks.cd_albedo_c4[idx], lam)
 
     def bottom(w_down, ub2):
         wi_b, wgt = _bottom_diffuse_sample(refl, w_down, ub2)
@@ -439,7 +437,7 @@ def eval_coated_diffuse(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
 def sample_coated_conductor(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
     eta4 = _sample_dense_spectrum(banks.cc_cond_eta, idx, lam)
     k4 = _sample_dense_spectrum(banks.cc_cond_k, idx, lam)
-    alb = rgb_albedo_eval(table, jnp.clip(banks.cc_albedo[idx], 0.0, 1.0), lam)
+    alb = coeff4_eval(banks.cc_albedo_c4[idx], lam)
     cax = banks.cc_cax[idx]
     cay = banks.cc_cay[idx]
 
@@ -457,7 +455,7 @@ def sample_coated_conductor(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSD
 def eval_coated_conductor(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
     eta4 = _sample_dense_spectrum(banks.cc_cond_eta, idx, lam)
     k4 = _sample_dense_spectrum(banks.cc_cond_k, idx, lam)
-    alb = rgb_albedo_eval(table, jnp.clip(banks.cc_albedo[idx], 0.0, 1.0), lam)
+    alb = coeff4_eval(banks.cc_albedo_c4[idx], lam)
     cax = banks.cc_cax[idx]
     cay = banks.cc_cay[idx]
 

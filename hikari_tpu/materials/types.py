@@ -202,7 +202,7 @@ Dielectric = Glass
 Metal = Conductor
 
 
-@pytree_dataclass
+@pytree_dataclass(static=("has_textures",))
 class MaterialBanks:
     """SoA parameter banks, one row per material instance of that type.
 
@@ -244,6 +244,20 @@ class MaterialBanks:
     dt_trans: jnp.ndarray        # (Nd, 3)
     dt_refl_tex: jnp.ndarray     # (Nd,) int32
     dt_trans_tex: jnp.ndarray    # (Nd,) int32
+    # precomputed uplift coefficients [c0,c1,c2,scale] for constant
+    # fields (texture-free lanes skip the trilinear rgb2spec lookup)
+    matte_kd_c4: jnp.ndarray     # (Nm, 4)
+    mirror_kr_c4: jnp.ndarray    # (Nr, 4)
+    glass_kr_c4: jnp.ndarray     # (Ng, 4)
+    glass_kt_c4: jnp.ndarray     # (Ng, 4)
+    thin_kr_c4: jnp.ndarray      # (Nt, 4)
+    thin_kt_c4: jnp.ndarray      # (Nt, 4)
+    dt_refl_c4: jnp.ndarray      # (Nd, 4)
+    dt_trans_c4: jnp.ndarray     # (Nd, 4)
+    cd_refl_c4: jnp.ndarray      # (Ncd, 4)
+    cd_albedo_c4: jnp.ndarray    # (Ncd, 4)
+    cc_albedo_c4: jnp.ndarray    # (Ncc, 4)
+    emissive_le_c4: jnp.ndarray  # (Ne, 4) unbounded (x scale/D65 at eval)
     # mix: child (type, idx) pairs + blend amount
     mix_m1_type: jnp.ndarray     # (Nx,) int32
     mix_m1_idx: jnp.ndarray      # (Nx,) int32
@@ -270,6 +284,9 @@ class MaterialBanks:
     cc_thick: jnp.ndarray
     cc_albedo: jnp.ndarray       # (Ncc, 3)
     cc_g: jnp.ndarray
+    # static: any material field is image/vertex-color driven (False ->
+    # shading skips the runtime-uplift path entirely)
+    has_textures: bool = False
 
 
 def _remap_alpha_host(rough, remap):
@@ -477,6 +494,13 @@ def pack_materials(
     def pad1(rows, default=0.0, dtype=jnp.float32):
         return jnp.asarray(rows or [default], dtype)
 
+    from ..spectral.rgb2spec import albedo_coeff4, srgb_table, unbounded_coeff4
+
+    table = srgb_table()
+
+    def a_c4(rows, default):
+        return albedo_coeff4(table, jnp.clip(pad3(rows, default), 0.0, 1.0))
+
     banks = MaterialBanks(
         matte_kd=pad3(matte_kd, (0.5, 0.5, 0.5)),
         matte_sigma=pad1(matte_sigma),
@@ -519,6 +543,18 @@ def pack_materials(
         mix_m2_type=pad1(mix_m2t, 0, jnp.int32),
         mix_m2_idx=pad1(mix_m2i, 0, jnp.int32),
         mix_amount=pad1(mix_amt, 0.5),
+        matte_kd_c4=a_c4(matte_kd, (0.5, 0.5, 0.5)),
+        mirror_kr_c4=a_c4(mirror_kr, (1.0, 1.0, 1.0)),
+        glass_kr_c4=a_c4(glass["kr"], (1.0, 1.0, 1.0)),
+        glass_kt_c4=a_c4(glass["kt"], (1.0, 1.0, 1.0)),
+        thin_kr_c4=a_c4(thin_kr, (1.0, 1.0, 1.0)),
+        thin_kt_c4=a_c4(thin_kt, (1.0, 1.0, 1.0)),
+        dt_refl_c4=a_c4(dt_refl, (0.25, 0.25, 0.25)),
+        dt_trans_c4=a_c4(dt_trans, (0.25, 0.25, 0.25)),
+        cd_refl_c4=a_c4(cd["refl"], (0.5, 0.5, 0.5)),
+        cd_albedo_c4=a_c4(cd["albedo"], (0.0, 0.0, 0.0)),
+        cc_albedo_c4=a_c4(cc["albedo"], (0.0, 0.0, 0.0)),
+        emissive_le_c4=unbounded_coeff4(table, pad3(emis_le, (1.0, 1.0, 1.0))),
         cd_refl=pad3(cd["refl"], (0.5, 0.5, 0.5)),
         cd_refl_tex=pad1(cd["refl_tex"], -1, jnp.int32),
         cd_ax=pad1(cd["ax"]),
@@ -543,5 +579,12 @@ def pack_materials(
         cc_thick=pad1(cc["thick"], 0.01),
         cc_albedo=pad3(cc["albedo"]),
         cc_g=pad1(cc["g"]),
+        has_textures=any(
+            int(v) != -1
+            for lst in (matte_kd_tex, mirror_kr_tex, glass["kr_tex"],
+                        glass["kt_tex"], glass["rough_tex"], cond_rough_tex,
+                        emis_le_tex, dt_refl_tex, dt_trans_tex, cd["refl_tex"])
+            for v in lst
+        ),
     )
     return banks, tags, idxs, present
