@@ -479,15 +479,15 @@ def ratio_track_tr(
     Returns (T_ray, r_l, r_u) multipliers (all (N,4), ones for inactive)."""
     n = o.shape[0]
     mi = jnp.maximum(midx, 0)
-    sig_maj = majorant(banks, table, mi, lam)
-    sig_maj0 = sig_maj[..., 0]
+    sig_base = _spectral_majorant_base(banks, table, mi, lam)
+    glob_max = banks.max_density[mi]
     t0, t1 = medium_segment(banks, mi, o, d, t_max)
 
     rng = lcg_init(o, d, t_max * 0.731 + 1.0)  # decorrelate from camera paths
     zero = o[..., 0] * 0.0
     ones4 = 1.0 + jnp.zeros_like(lam)
 
-    run = active & (sig_maj0 >= 1e-10)
+    run = active & (sig_base[..., 0] * glob_max >= 1e-10) & (t1 > t0)
     state = dict(
         running=run,
         t=t0 + zero,
@@ -502,22 +502,33 @@ def ratio_track_tr(
         return jnp.any(s["running"]) & (s["step"] < MAX_TRACK_STEPS)
 
     def body(s):
+        # per-cell majorant (same stateless DDA as delta_track)
+        p_cur = o + s["t"][..., None] * d
+        cell = majorant_cell(banks, mi, p_cur)
+        sig_maj = sig_base * cell[..., None]
+        sig_maj0 = sig_maj[..., 0]
+        t_cell_end = majorant_cell_exit(banks, mi, o, d, s["t"], t1)
+
         rng, u = lcg_next(s["rng"])
         dt = -jnp.log(jnp.maximum(1e-10, 1.0 - u)) / jnp.maximum(sig_maj0, 1e-10)
         t_new = s["t"] + dt
-        past = t_new >= t1
+        cell_empty = sig_maj0 < 1e-10
+        t_new = jnp.where(cell_empty, t_cell_end, t_new)
+        past = t_new >= t_cell_end
+        at_seg_end = t_cell_end >= t1 * (1.0 - 1e-7)
 
-        # residual transmittance to segment end
-        dt_rem = jnp.maximum(t1 - s["t"], 0.0)
+        # residual spectral ratio for the distance covered in this cell
+        dt_rem = jnp.maximum(t_cell_end - s["t"], 0.0)
         t_rem = jnp.exp(-dt_rem[..., None] * sig_maj)
         rem0 = jnp.maximum(t_rem[..., 0:1], 1e-10)
         fin = s["running"] & past
         T = jnp.where(fin[..., None], s["T"] * t_rem / rem0, s["T"])
         r_l = jnp.where(fin[..., None], s["r_l"] * t_rem / rem0, s["r_l"])
         r_u = jnp.where(fin[..., None], s["r_u"] * t_rem / rem0, s["r_u"])
-        running = s["running"] & ~past
+        running = s["running"] & ~(past & at_seg_end)
 
         # null collision: multiply by sigma_n / sigma_maj ratios
+        inter = running & ~past
         t_maj = jnp.exp(-dt[..., None] * sig_maj)
         p = o + t_new[..., None] * d
         sa, ss_, _, _ = medium_properties(banks, table, mi, p, lam)
@@ -526,13 +537,13 @@ def ratio_track_tr(
         sig_n = jnp.maximum(sig_maj - sa - ss_, 0.0)
         pdf = jnp.maximum(t_maj[..., 0] * sig_maj[..., 0], 1e-10)
         T = jnp.where(
-            running[..., None], T * t_maj * sig_n / pdf[..., None], T
+            inter[..., None], T * t_maj * sig_n / pdf[..., None], T
         )
         r_l = jnp.where(
-            running[..., None], r_l * t_maj * sig_maj / pdf[..., None], r_l
+            inter[..., None], r_l * t_maj * sig_maj / pdf[..., None], r_l
         )
         r_u = jnp.where(
-            running[..., None], r_u * t_maj * sig_n / pdf[..., None], r_u
+            inter[..., None], r_u * t_maj * sig_n / pdf[..., None], r_u
         )
 
         # russian roulette on low T (pbrt: q=0.75 when maxComponent < 0.05)
@@ -544,8 +555,9 @@ def ratio_track_tr(
         T = jnp.where((running & low & ~killed)[..., None], T / 0.25, T)
         running = running & ~killed & ~jnp.all(T == 0.0, -1)
 
+        t = jnp.where(past, t_cell_end, t_new)
         return dict(
-            running=running, t=jnp.where(running, t_new, s["t"]),
+            running=running, t=jnp.where(s["running"], t, s["t"]),
             T=T, r_l=r_l, r_u=r_u, rng=rng, step=s["step"] + 1,
         )
 
