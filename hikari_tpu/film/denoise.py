@@ -77,9 +77,16 @@ def atrous_pass(color, variance, normal, depth, step: int, cfg: DenoiseConfig):
             # color weight (variance-normalized luminance difference)
             dl = jnp.abs(_luminance(c_q) - lum_c)
             w_c = jnp.exp(-dl / (sig_c2 * var_term + eps))
-            # normal weight
+            # normal weight; background pixels (no hit -> zero normal) blend
+            # only with other background pixels, never vanish to zero weight
             ndot = jnp.maximum(jnp.sum(n_q * normal, -1), 0.0)
-            w_n = ndot ** cfg.sigma_normal
+            bg_c = jnp.sum(normal * normal, -1) < 1e-6
+            bg_q = jnp.sum(n_q * n_q, -1) < 1e-6
+            w_n = jnp.where(
+                bg_c | bg_q,
+                (bg_c & bg_q).astype(ndot.dtype),
+                ndot ** cfg.sigma_normal,
+            )
             # depth weight
             dz = jnp.abs(z_q - depth)
             w_z = jnp.exp(-dz / (cfg.sigma_depth * (abs(dy) + abs(dx) + eps)))

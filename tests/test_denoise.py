@@ -77,3 +77,24 @@ def test_render_aux_buffers():
     # normals are unit-ish where hit
     ln = np.linalg.norm(normal[hit], axis=-1)
     assert np.all(ln > 0.9)
+
+
+def test_denoise_preserves_background():
+    """Miss pixels (zero normal/albedo/depth) must keep their radiance —
+    the sky is not geometry but it is signal (regression: background used
+    to collapse to zero weight and go black)."""
+    rng = np.random.RandomState(2)
+    h = w = 32
+    color = np.full((h, w, 3), 0.08, np.float32)  # sky-ish everywhere
+    color[16:] = 0.6                               # ground in lower half
+    noisy = color + rng.randn(h, w, 3).astype(np.float32) * 0.02
+    albedo = np.zeros((h, w, 3), np.float32)
+    albedo[16:] = 0.5
+    normal = np.zeros((h, w, 3), np.float32)
+    normal[16:] = (0, 1, 0)
+    depth = np.zeros((h, w), np.float32)
+    depth[16:] = 2.0
+    out = np.asarray(denoise(jnp.asarray(noisy), jnp.asarray(albedo),
+                             jnp.asarray(normal), jnp.asarray(depth)))
+    assert out[:12].mean() > 0.5 * 0.08, out[:12].mean()
+    assert abs(out[20:].mean() - 0.6) < 0.05
