@@ -4,23 +4,43 @@ Why not a per-lane BVH walk: TPUs have no per-lane gather hardware — the
 skip-link traversal in traverse.py measures ~0.04 Mray/s on a v5e because
 every loop step is a 65k-lane random gather, and the lockstep while_loop
 runs until the slowest lane finishes. This module replaces pointer chasing
-with dense tile compute, the shape the VPU is built for:
+with dense tile/matmul compute, the shape the MXU/VPU are built for:
 
 1. rays are sorted by (direction octant, origin Morton) so nearby lanes are
    coherent (classic packet tracing, Wald et al.);
 2. triangles are grouped into *treelets* — contiguous runs of the BVH's
-   spatially-sorted leaf order, each with an AABB;
+   spatially-sorted leaf order, each with an AABB and a precomputed
+   Baldwin-Weber affine matrix (see below);
 3. a conservative interval slab test culls (ray-tile x treelet) pairs in
    one dense XLA pass — sign-uniform tiles make interval arithmetic exact;
-4. a Pallas kernel sweeps the surviving pairs: each grid step intersects a
-   1024-ray tile with a 128-triangle treelet entirely in VMEM
-   (Moller-Trumbore over an (8, 128, TT) block), skipping masked-off steps
-   with @pl.when. No gathers anywhere on the hot path.
+4. the surviving pairs are compacted into a tile-major pair list (packed
+   int32 scalar-prefetch array; the Mosaic grid is the *dynamic* pair
+   count) with treelets visited front-to-back per direction octant;
+5. a Pallas kernel sweeps the pair list: each grid step intersects a
+   1024-ray tile with a TREELET-triangle treelet as two MXU matmuls plus
+   a short VPU epilogue, early-outing once no remaining treelet can beat
+   the tile's worst best-hit.
 
-Data layouts are chosen for the (8, 128) VPU register shape: per-ray
-quantities live as (rows, 128) arrays (one tile = 8 sublane rows), triangle
-components are pre-transposed to (T, 3, TT) so the kernel broadcasts them
-along lanes without relayouts.
+Intersection is the Baldwin-Weber affine form rather than Moller-Trumbore:
+for triangle (p0, e1, e2) with unnormalized normal n = e1 x e2,
+
+    t(o, d) = -(n.o + dw) / (n.d),   dw = -n.p0
+    u(p)    = a_u.p + b_u,           a_u = (e2 x n)/|n|^2, b_u = -a_u.p0
+    v(p)    = a_v.p + b_v,           a_v = (n x e1)/|n|^2, b_v = -a_v.p0
+
+so with u(o + t d) = (a_u.o + b_u) + t (a_u.d), every per-(ray, triangle)
+quantity is an affine function of the ray with per-triangle coefficients:
+six numbers num/den/au/bu/av/bv, computed as TWO matmuls ([o,1] @ M and
+[d,0] @ M) that ride the MXU instead of ~40 VPU ops of cross products.
+f32 accuracy on the MXU comes from a 3-way bf16 error split: each f32
+x = x1 + x2 + x3 (bf16 each); the six significant partial products are
+laid out along the contraction axis (K = 6 splits x 4 = 24), so ONE
+single-pass bf16 matmul with f32 accumulation reproduces what XLA's
+HIGHEST precision does in six passes.
+
+Data layouts: per-ray split matrices are (R, 24) bf16; per-ray state is
+(n_tiles, ROWS, LANES) so a tile is one block; triangle coefficients are
+pre-transposed to (T, 24, 3*TT) bf16 (column groups: plane | u | v).
 
 Replaces Raycore.closest_hit/any_hit for the TPU backend
 (/root/reference/src/integrators/volpath/intersection.jl:200-324).
@@ -41,25 +61,50 @@ from .traverse import HitRecord
 RAY_TILE = 1024    # rays per packet = 8 sublane rows x 128 lanes
 LANES = 128
 ROWS = RAY_TILE // LANES
-TREELET = 1024      # triangles per treelet (TT)
-KCHUNK = 1024       # in-kernel tri-axis chunk (VMEM sweet spot)
+TREELET = 256      # triangles per treelet (TT)
+PAIR_CHUNK = 128 * 1024  # pairs per pallas_call; meta chunk = 512 KB of SMEM
 
 
 @pytree_dataclass
 class Treelets:
-    """Treelet-blocked triangle soup (device), lane-transposed."""
+    """Treelet-blocked triangle data (device), Baldwin-Weber form."""
 
     lo: jnp.ndarray   # (T, 3) treelet AABB min
     hi: jnp.ndarray   # (T, 3)
-    p0: jnp.ndarray   # (T, 3, TT) triangle base vertex, leaf order
-    e1: jnp.ndarray   # (T, 3, TT) p1 - p0
-    e2: jnp.ndarray   # (T, 3, TT) p2 - p0
+    bw: jnp.ndarray   # (T, 24, 3*TT) bf16 split affine coefficients
+    oct_order: jnp.ndarray  # (8, T) treelet visit order per direction octant
+
+
+def _split3_cols(m: np.ndarray) -> np.ndarray:
+    """(4, C) f32 -> (24, C) bf16: rows [m1 m2 m1 m3 m1 m2] pairing with
+    ray columns [a1 a1 a2 a1 a3 a2] so one K=24 bf16 matmul accumulates the
+    six >=2^-24 partial products of (a1+a2+a3)(m1+m2+m3) in f32."""
+    m = jnp.asarray(m, jnp.float32)
+    m1 = m.astype(jnp.bfloat16)
+    r = m - m1.astype(jnp.float32)
+    m2 = r.astype(jnp.bfloat16)
+    m3 = (r - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([m1, m2, m1, m3, m1, m2], axis=0)
+
+
+def _split3_rays(a: jnp.ndarray) -> jnp.ndarray:
+    """(R, 4) f32 -> (R, 24) bf16 ray-side split: [a1 a1 a2 a1 a3 a2]."""
+    a1 = a.astype(jnp.bfloat16)
+    r = a - a1.astype(jnp.float32)
+    a2 = r.astype(jnp.bfloat16)
+    a3 = (r - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([a1, a1, a2, a1, a3, a2], axis=1)
 
 
 def build_treelets(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> Treelets:
     """Host: block the BVH-leaf-ordered triangles into treelets of TREELET
-    triangles; the leaf order is spatially coherent so treelet AABBs are
-    tight. Padding uses far-away degenerate triangles that never hit."""
+    triangles (the leaf order is spatially coherent so treelet AABBs are
+    tight) and precompute the Baldwin-Weber affine coefficients in f64.
+
+    oct_order gives, for each of the 8 ray-direction octants, the treelets
+    sorted front-to-back along the octant's dominant diagonal — the static
+    approximation of per-tile distance ordering that lets the sweep kernels
+    early-out once every lane's best hit precedes the remaining treelets."""
     p = len(p0)
     t = max(1, -(-p // TREELET))
     pad = t * TREELET - p
@@ -72,12 +117,50 @@ def build_treelets(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> Treelets:
     lo = np.minimum(np.minimum(p0p, p1p), p2p).reshape(t, TREELET, 3).min(1)
     hi = np.maximum(np.maximum(p0p, p1p), p2p).reshape(t, TREELET, 3).max(1)
 
-    def lanes(a):  # (t*TT, 3) -> (T, 3, TT)
-        return jnp.asarray(np.transpose(a.reshape(t, TREELET, 3), (0, 2, 1)))
+    # Baldwin-Weber coefficients in f64; degenerate (incl. padding)
+    # triangles get all-zero rows -> den == 0 -> never hit
+    q0 = p0p.astype(np.float64)
+    e1 = p1p.astype(np.float64) - q0
+    e2 = p2p.astype(np.float64) - q0
+    n = np.cross(e1, e2)
+    n2 = (n * n).sum(-1)
+    ok = (n2 > 1e-30) & np.isfinite(n2)
+    inv_n2 = np.where(ok, 1.0 / np.where(ok, n2, 1.0), 0.0)
+    a_u = np.cross(e2, n) * inv_n2[:, None]
+    a_v = np.cross(n, e1) * inv_n2[:, None]
+    n = np.where(ok[:, None], n, 0.0)
+    dw = -(n * q0).sum(-1)
+    b_u = -(a_u * q0).sum(-1)
+    b_v = -(a_v * q0).sum(-1)
+
+    def rows4(a3, w):  # (P, 3), (P,) -> (P, 4)
+        return np.concatenate([a3, w[:, None]], axis=1).astype(np.float32)
+
+    mn = rows4(n, dw)        # plane
+    mu = rows4(a_u, b_u)
+    mv = rows4(a_v, b_v)
+    # (T, 4, 3*TT): column groups [plane | u | v], K rows [x, y, z, w]
+    def grp(m):  # (P, 4) -> (T, 4, TT)
+        return np.transpose(m.reshape(t, TREELET, 4), (0, 2, 1))
+
+    m4 = np.concatenate([grp(mn), grp(mu), grp(mv)], axis=2)  # (T, 4, 3TT)
+    bw = jnp.stack([_split3_cols(m4[i]) for i in range(t)]) if t <= 1 else \
+        jax.vmap(_split3_cols)(jnp.asarray(m4))
+
+    # front-to-back treelet order per octant: ascending centroid coordinate
+    # along the octant's diagonal direction
+    centroid = 0.5 * (lo + hi)
+    orders = np.empty((8, t), np.int32)
+    for o in range(8):
+        s = np.array([1.0 if not (o >> a) & 1 else -1.0 for a in range(3)],
+                     np.float32)
+        key = centroid @ s
+        orders[o] = np.argsort(key, kind="stable").astype(np.int32)
 
     return Treelets(
         lo=jnp.asarray(lo), hi=jnp.asarray(hi),
-        p0=lanes(p0p), e1=lanes(p1p - p0p), e2=lanes(p2p - p0p),
+        bw=jnp.asarray(bw, jnp.bfloat16),
+        oct_order=jnp.asarray(orders),
     )
 
 
@@ -95,8 +178,8 @@ def _morton10(x):
 
 
 def ray_sort_keys(o, d, world_lo, world_hi):
-    """uint32 sort key: direction octant (3 bits), fine direction Morton
-    (15 bits: 5/axis of |d|), then origin Morton (14 bits).
+    """uint32 sort key: direction octant (3 bits), origin Morton (14 bits),
+    fine direction Morton (15 bits).
 
     Tight direction sorting is what makes the per-tile frustum culling
     effective: without it a 1024-ray tile spans a whole octant and the
@@ -131,7 +214,7 @@ def ray_sort_keys(o, d, world_lo, world_hi):
 
 
 def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
-    """(n_tiles, T) bool: could any ray of tile i hit treelet t?
+    """(n_tiles, T) bool mask + (n_tiles, T) f32 conservative entry t.
 
     Interval slab test per octant-uniform *sub-frustum* (the 1024-ray
     kernel tile is tested as the union of `sub` 128-ray frusta, which is
@@ -183,94 +266,151 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
     t_near = jnp.max(axis_enter_lo, axis=-1)   # (n_subtiles, T)
     t_far = jnp.min(axis_exit_hi, axis=-1)
     m = (t_near <= t_far * 1.0001) & (t_far > 0.0) & (t_near <= t_hi[:, None])
-    # union of the sub-frustum tests per kernel tile
-    return m.reshape(n_tiles // sub, sub, -1).any(axis=1)
+    # union of the sub-frustum tests per kernel tile; the tile's
+    # conservative entry distance is the min over its live sub-frusta
+    m = m.reshape(n_tiles // sub, sub, -1)
+    tn = jnp.where(m, t_near.reshape(m.shape), 3.0e37)
+    return m.any(axis=1), jnp.maximum(tn.min(axis=1), 0.0)
 
 
-# --- the Pallas blocked-intersection kernel ------------------------------------------
+# --- compacted pair lists -------------------------------------------------------------
+#
+# The sweep grid is one step per *surviving* (ray-tile, treelet) pair, not
+# n_tiles x n_treelets with masked skips: pair metadata is packed into one
+# int32 scalar-prefetch array (tile << 16 | treelet) and the Mosaic grid
+# size is the dynamic pair count. Pairs are tile-major (ray and hit-state
+# blocks stay VMEM-resident across a tile's run) and, within a tile,
+# front-to-back in the tile's direction octant.
 
 
-def _intersect_kernel(mask_ref,
-                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                      tmax_ref, p0_ref, e1_ref, e2_ref,
-                      t_ref, tri_ref, b1_ref, b2_ref):
-    t_idx = pl.program_id(1)
+def _tile_octants(ds, n_tiles):
+    """(n_tiles,) direction octant of each (sorted) ray tile; tiles are
+    octant-uniform by construction of the sort key."""
+    d0 = ds.reshape(n_tiles, RAY_TILE, 3)[:, 0, :]
+    return (
+        (d0[:, 0] < 0).astype(jnp.int32)
+        | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
+        | ((d0[:, 2] < 0).astype(jnp.int32) << 2)
+    )
 
-    @pl.when(t_idx == 0)
-    def _init():
-        t_ref[:] = tmax_ref[:]
-        tri_ref[:] = jnp.full_like(tri_ref, -1)
-        b1_ref[:] = jnp.zeros_like(b1_ref)
-        b2_ref[:] = jnp.zeros_like(b2_ref)
 
-    # whole mask row for this tile lives in VMEM; pick this step's flag
-    row = mask_ref[0]                                        # (1, T_pad)
+def _build_pairs(mask, oct_order, tile_oct):
+    """Compact the (n_tiles, T) cull mask into a dense pair list.
+
+    Returns (meta, n_pairs): meta is (P,) int32, tile << 16 | treelet,
+    tile-major with treelets in the tile's octant front-to-back order;
+    entries past n_pairs repeat the last real pair (sweeping a pair twice
+    is idempotent, so padding steps are harmless)."""
+    n_tiles, T = mask.shape
+    srt = oct_order[tile_oct]                      # (n_tiles, T) treelet ids
+    alive = jnp.take_along_axis(mask, srt, 1)
+    tile_ids = jnp.broadcast_to(
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None], (n_tiles, T))
+    meta = (tile_ids << 16) | srt
+    flat_alive = alive.reshape(-1)
+    flat_meta = meta.reshape(-1)
+    P = n_tiles * T
+    pos = jnp.cumsum(flat_alive.astype(jnp.int32)) - 1
+    n_pairs = pos[-1] + 1
+    dst = jnp.where(flat_alive, pos, P)            # dead pairs -> dropped
+    out = jnp.zeros((P,), jnp.int32).at[dst].set(flat_meta, mode="drop")
+    last = out[jnp.maximum(n_pairs - 1, 0)]
+    out = jnp.where(jnp.arange(P) < n_pairs, out, last)
+    return out, n_pairs
+
+
+# --- the Pallas pair-sweep kernels ------------------------------------------------------
+
+
+def _bw_block(a6, d6, m6):
+    """The two MXU matmuls + affine evaluation shared by both kernels.
+
+    Returns (t, u, v, den) over the (RAY_TILE, TREELET) block."""
+    dims = (((1,), (0,)), ((), ()))
+    mo = jax.lax.dot_general(a6, m6, dims, preferred_element_type=jnp.float32)
+    md = jax.lax.dot_general(d6, m6, dims, preferred_element_type=jnp.float32)
+    num, au, av = mo[:, :TREELET], mo[:, TREELET:2 * TREELET], mo[:, 2 * TREELET:]
+    den, bu, bv = md[:, :TREELET], md[:, TREELET:2 * TREELET], md[:, 2 * TREELET:]
+    t = -num / jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+    u = au + t * bu
+    v = av + t * bv
+    return t, u, v, den
+
+
+def _closest_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
+                          ti_ref, tri_i_ref, b1_i_ref, b2_i_ref,
+                          bw_ref,
+                          t_ref, tri_ref, b1_ref, b2_ref):
+    p = pl.program_id(0)
+    m = meta_ref[p]
+    tile = m >> 16
+    treelet = m & 0xFFFF
+    prev_tile = meta_ref[jnp.maximum(p - 1, 0)] >> 16
+
+    @pl.when((p == 0) | (tile != prev_tile))
+    def _init():  # first pair of this tile: load carried hit state
+        t_ref[0] = ti_ref[0]
+        tri_ref[0] = tri_i_ref[0]
+        b1_ref[0] = b1_i_ref[0]
+        b2_ref[0] = b2_i_ref[0]
+
+    # conservative front-to-back early-out: skip the treelet if its entry
+    # distance cannot beat the worst lane's current best
+    row = tnear_ref[0]                                       # (1, T_pad)
     cols_m = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    live = jnp.sum(jnp.where(cols_m == t_idx, row, 0))
+    tn = jnp.min(jnp.where(cols_m == treelet, row, 3.0e37))
 
-    @pl.when(live != 0)
+    @pl.when(tn < jnp.max(t_ref[0]))
     def _work():
-        # rays: (ROWS, LANES) per component -> (ROWS, LANES, 1)
-        ox = ox_ref[:][..., None]
-        oy = oy_ref[:][..., None]
-        oz = oz_ref[:][..., None]
-        dx = dx_ref[:][..., None]
-        dy = dy_ref[:][..., None]
-        dz = dz_ref[:][..., None]
+        t, u, v, den = _bw_block(a6_ref[:], d6_ref[:], bw_ref[0])
+        eps = 1e-6
+        hit = (
+            (jnp.abs(den) > 1e-20)
+            & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
+            & (t > 1e-4)
+        )
+        t_best = t_ref[0]                                    # (RAY_TILE, 1)
+        t_cand = jnp.where(hit, t, 3.0e38)
+        t_new = jnp.min(t_cand, axis=-1, keepdims=True)
+        cols = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1)
+        j = jnp.min(
+            jnp.where(t_cand <= t_new, cols, jnp.int32(2**30)),
+            axis=-1, keepdims=True,
+        )
+        onehot = (cols == j).astype(t.dtype)
+        u_new = jnp.sum(u * onehot, axis=-1, keepdims=True)
+        v_new = jnp.sum(v * onehot, axis=-1, keepdims=True)
+        better = t_new < t_best
+        t_ref[0] = jnp.where(better, t_new, t_best)
+        tri_ref[0] = jnp.where(better, treelet * TREELET + j, tri_ref[0])
+        b1_ref[0] = jnp.where(better, u_new, b1_ref[0])
+        b2_ref[0] = jnp.where(better, v_new, b2_ref[0])
 
-        # the treelet is processed in KCHUNK-wide slices: keeps live VMEM at
-        # the sweet spot while the grid amortizes per-step overheads over
-        # the full TREELET
-        for k in range(TREELET // KCHUNK):
-            s = slice(k * KCHUNK, (k + 1) * KCHUNK)
-            # triangles: (1, 3, KCHUNK) -> (1, 1, KCHUNK) per component
-            tp = p0_ref[:, :, s]
-            te1 = e1_ref[:, :, s]
-            te2 = e2_ref[:, :, s]
-            p0x, p0y, p0z = tp[:, 0:1, :], tp[:, 1:2, :], tp[:, 2:3, :]
-            e1x, e1y, e1z = te1[:, 0:1, :], te1[:, 1:2, :], te1[:, 2:3, :]
-            e2x, e2y, e2z = te2[:, 0:1, :], te2[:, 1:2, :], te2[:, 2:3, :]
 
-            # Moller-Trumbore over the (ROWS, LANES, KCHUNK) block
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+def _occlusion_pairs_kernel(meta_ref, a6_ref, d6_ref,
+                            tmax_ref, occ_i_ref, bw_ref, occ_ref):
+    p = pl.program_id(0)
+    m = meta_ref[p]
+    tile = m >> 16
+    treelet = m & 0xFFFF
+    prev_tile = meta_ref[jnp.maximum(p - 1, 0)] >> 16
 
-            sx = ox - p0x
-            sy = oy - p0y
-            sz = oz - p0z
-            u = (sx * hx + sy * hy + sz * hz) * inv_det
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    @pl.when((p == 0) | (tile != prev_tile))
+    def _init():
+        occ_ref[0] = occ_i_ref[0]
 
-            eps = 1e-7
-            hit = (
-                (jnp.abs(det) > 1e-12)
-                & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
-                & (t > 1e-4)
-            )
-            t_best = t_ref[:]                                 # (ROWS, LANES)
-            t_cand = jnp.where(hit, t, 3.0e38)
-            t_new = jnp.min(t_cand, axis=-1)
-            cols = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 2)
-            j = jnp.min(
-                jnp.where(t_cand <= t_new[..., None], cols, jnp.int32(2**30)),
-                axis=-1,
-            )
-            onehot = (cols == j[..., None]).astype(t.dtype)
-            u_new = jnp.sum(u * onehot, axis=-1)
-            v_new = jnp.sum(v * onehot, axis=-1)
-            better = t_new < t_best
-            t_ref[:] = jnp.where(better, t_new, t_best)
-            base = t_idx * TREELET + k * KCHUNK
-            tri_ref[:] = jnp.where(better, base + j, tri_ref[:])
-            b1_ref[:] = jnp.where(better, u_new, b1_ref[:])
-            b2_ref[:] = jnp.where(better, v_new, b2_ref[:])
+    # early-out once every lane in the tile is resolved (shadow rays
+    # resolve after a handful of front-to-back treelets)
+    @pl.when(jnp.min(occ_ref[0]) == 0)
+    def _work():
+        t, u, v, den = _bw_block(a6_ref[:], d6_ref[:], bw_ref[0])
+        eps = 1e-6
+        hit = (
+            (jnp.abs(den) > 1e-20)
+            & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
+            & (t > 1e-4) & (t < tmax_ref[0])
+        )
+        occ_ref[0] = occ_ref[0] | jnp.any(hit, axis=-1, keepdims=True).astype(jnp.int32)
 
 
 def _pad_rays(o, d, t_max):
@@ -284,151 +424,110 @@ def _pad_rays(o, d, t_max):
     return o, d, t_max, n, n_pad
 
 
+def _ray_matrices(os_, ds):
+    """Split [o,1] and [d,0] into the (R, 24) bf16 matmul operands."""
+    n = os_.shape[0]
+    a = jnp.concatenate([os_, jnp.ones((n, 1), jnp.float32)], axis=1)
+    b = jnp.concatenate([ds, jnp.zeros((n, 1), jnp.float32)], axis=1)
+    return _split3_rays(a), _split3_rays(b)
+
+
+def _sweep_chunks(kernel, meta, n_pairs, tnear3, a6, d6, carry_in,
+                  extra_inputs, tl, n_tiles, interpret):
+    """Run the pair sweep in PAIR_CHUNK-sized pallas_calls, carrying the
+    per-ray accumulator state between chunks. Grid size per chunk is the
+    dynamic live-pair count (Mosaic dynamic grids); in interpret mode the
+    full static chunk runs (padding steps are idempotent)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = meta.shape[0]
+    chunk = min(PAIR_CHUNK, P)
+    n_chunks = -(-P // chunk)
+    if n_chunks * chunk > P:
+        meta = jnp.concatenate(
+            [meta, jnp.broadcast_to(meta[-1:], (n_chunks * chunk - P,))])
+
+    state_spec = lambda: pl.BlockSpec(
+        (1, RAY_TILE, 1), lambda p, m: (m[p] >> 16, 0, 0))
+    ray_spec = lambda: pl.BlockSpec(
+        (RAY_TILE, 24), lambda p, m: (m[p] >> 16, 0))
+    bw_spec = pl.BlockSpec(
+        (1, 24, 3 * TREELET), lambda p, m: (m[p] & 0xFFFF, 0, 0))
+    specs = [ray_spec(), ray_spec()]
+    if tnear3 is not None:
+        specs.insert(0, pl.BlockSpec(
+            (1, 1, tnear3.shape[-1]), lambda p, m: (m[p] >> 16, 0, 0)))
+
+    n_carry = len(carry_in)
+    out_shape = [jax.ShapeDtypeStruct((n_tiles, RAY_TILE, 1), c.dtype)
+                 for c in carry_in]
+    in_specs = (
+        specs
+        + [state_spec() for _ in extra_inputs]
+        + [state_spec() for _ in range(n_carry)]
+        + [bw_spec]
+    )
+
+    def st(x):  # (n_pad,) -> (n_tiles, RAY_TILE, 1)
+        return x.reshape(n_tiles, RAY_TILE, 1)
+
+    carry = tuple(st(c) for c in carry_in)
+    extra = [st(x) for x in extra_inputs]
+    for c in range(n_chunks):
+        meta_c = jax.lax.dynamic_slice(meta, (c * chunk,), (chunk,))
+        inputs = (
+            ([tnear3] if tnear3 is not None else [])
+            + [a6, d6] + extra + list(carry) + [tl.bw]
+        )
+        if interpret:
+            g = chunk
+        else:
+            g = jnp.clip(n_pairs - c * chunk, 1, chunk)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=[state_spec() for _ in range(n_carry)],
+        )
+        carry = tuple(pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(meta_c, *inputs))
+    return carry
+
+
+def _world_exit_clamp(o, d, t_max, world_lo, world_hi):
+    """No triangle lies beyond the world box, so cap each ray's initial
+    best-t at its box exit distance: lanes that escape the scene then stop
+    inflating max(t_best) and the front-to-back early-out keeps biting in
+    tiles with sky-bound rays (callers only read t on hit lanes)."""
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+    ta = (world_lo[None, :] - o) * inv
+    tb = (world_hi[None, :] - o) * inv
+    t_exit = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    return jnp.minimum(t_max, jnp.maximum(t_exit, 0.0) * 1.0001 + 1e-3)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def closest_hit_packets(
     tl: Treelets, o, d, t_max, world_lo, world_hi, interpret: bool = False,
     active=None,
 ) -> HitRecord:
-    """Sorted-packet closest hit. o/d (R,3), t_max (R,). Returns HitRecord
-    with tri indices into the BVH leaf order (same convention as
-    traverse.closest_hit).
+    """Sorted-packet closest hit over the compacted pair list. o/d (R,3),
+    t_max (R,). Returns HitRecord with tri indices into the BVH leaf order
+    (same convention as traverse.closest_hit).
 
-    active: optional (R,) bool — inactive lanes are sorted into their own
-    tiles with t_max 0, so the culling pass masks those tiles off entirely
-    (late bounces with few live paths then cost almost nothing)."""
+    active: optional (R,) bool — inactive lanes sort into their own tiles
+    with t_max 0, which the culling pass drops entirely, so the sweep cost
+    tracks the live-path count as paths terminate."""
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37)
+    t_max = _world_exit_clamp(o, d, t_max, world_lo, world_hi)
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
     o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
     n_tiles = n_pad // RAY_TILE
-    n_rows = n_pad // LANES
-    n_treelets = tl.lo.shape[0]
-
-    keys = ray_sort_keys(o, d, world_lo, world_hi)
-    if active is not None:
-        act_pad = jnp.concatenate(
-            [active, jnp.zeros((n_pad - n,), bool)]
-        ) if n_pad > n else active
-        keys = jnp.where(act_pad, keys, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(keys)
-    inv_order = jnp.argsort(order)
-    os_ = o[order]
-    ds = d[order]
-    ts = t_max[order]
-
-    mask = tile_treelet_mask(os_, ds, ts, tl, n_tiles).astype(jnp.int32)
-    t_pad = -(-n_treelets // 128) * 128
-    mask3 = jnp.zeros((n_tiles, 1, t_pad), jnp.int32).at[:, 0, :n_treelets].set(mask)
-
-    def rows(x):  # (n_pad,) -> (n_rows, 128)
-        return x.reshape(n_rows, LANES)
-
-    ray_comps = [rows(os_[:, 0]), rows(os_[:, 1]), rows(os_[:, 2]),
-                 rows(ds[:, 0]), rows(ds[:, 1]), rows(ds[:, 2]),
-                 rows(ts)]
-
-    grid = (n_tiles, n_treelets)
-    out_shape = [
-        jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),   # t
-        jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),     # tri
-        jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),   # b1
-        jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),   # b2
-    ]
-    row_spec = lambda: pl.BlockSpec((ROWS, LANES), lambda i, t: (i, 0))
-    tri_spec = lambda: pl.BlockSpec((1, 3, TREELET), lambda i, t: (t, 0, 0))
-    t_res, tri, b1, b2 = pl.pallas_call(
-        _intersect_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, t_pad), lambda i, t: (i, 0, 0)),  # mask row
-            row_spec(), row_spec(), row_spec(),                    # ox oy oz
-            row_spec(), row_spec(), row_spec(),                    # dx dy dz
-            row_spec(),                                            # tmax
-            tri_spec(), tri_spec(), tri_spec(),                    # p0 e1 e2
-        ],
-        out_specs=[row_spec(), row_spec(), row_spec(), row_spec()],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(mask3, *ray_comps, tl.p0, tl.e1, tl.e2)
-
-    # unsort and strip padding
-    t_res = t_res.reshape(-1)[inv_order][:n]
-    tri = tri.reshape(-1)[inv_order][:n]
-    b1 = b1.reshape(-1)[inv_order][:n]
-    b2 = b2.reshape(-1)[inv_order][:n]
-    return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
-
-
-def _occlusion_kernel(mask_ref,
-                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                      tmax_ref, p0_ref, e1_ref, e2_ref, occ_ref):
-    t_idx = pl.program_id(1)
-
-    @pl.when(t_idx == 0)
-    def _init():
-        # lanes with no shadow ray (t_max <= 0) are pre-resolved
-        occ_ref[:] = (tmax_ref[:] <= 0.0).astype(jnp.int32)
-
-    row = mask_ref[0]
-    cols_m = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    live = jnp.sum(jnp.where(cols_m == t_idx, row, 0))
-    # early-out: once every lane in the tile is resolved, skip the rest of
-    # the treelet sweep (shadow rays resolve after a few treelets)
-    unresolved = jnp.sum(1 - occ_ref[:])
-
-    @pl.when((live != 0) & (unresolved > 0))
-    def _work():
-        ox = ox_ref[:][..., None]
-        oy = oy_ref[:][..., None]
-        oz = oz_ref[:][..., None]
-        dx = dx_ref[:][..., None]
-        dy = dy_ref[:][..., None]
-        dz = dz_ref[:][..., None]
-        for k in range(TREELET // KCHUNK):
-            s = slice(k * KCHUNK, (k + 1) * KCHUNK)
-            tp = p0_ref[:, :, s]
-            te1 = e1_ref[:, :, s]
-            te2 = e2_ref[:, :, s]
-            p0x, p0y, p0z = tp[:, 0:1, :], tp[:, 1:2, :], tp[:, 2:3, :]
-            e1x, e1y, e1z = te1[:, 0:1, :], te1[:, 1:2, :], te1[:, 2:3, :]
-            e2x, e2y, e2z = te2[:, 0:1, :], te2[:, 1:2, :], te2[:, 2:3, :]
-
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            sx = ox - p0x
-            sy = oy - p0y
-            sz = oz - p0z
-            u = (sx * hx + sy * hy + sz * hz) * inv_det
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            eps = 1e-7
-            hit = (
-                (jnp.abs(det) > 1e-12)
-                & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
-                & (t > 1e-4) & (t < tmax_ref[:][..., None])
-            )
-            occ_ref[:] = occ_ref[:] | jnp.any(hit, axis=-1).astype(jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
-                    active=None):
-    """Occlusion-only sweep with per-tile early-out once every lane has
-    found a hit (shadow rays are the cheap half of the frame)."""
-    t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37) * 0.9999
-    if active is not None:
-        t_max = jnp.where(active, t_max, 0.0)
-    o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
-    # padding lanes carry t_max=0 -> pre-resolved
-    t_max = t_max.at[n:].set(0.0) if n_pad > n else t_max
-    n_tiles = n_pad // RAY_TILE
-    n_rows = n_pad // LANES
     n_treelets = tl.lo.shape[0]
 
     keys = ray_sort_keys(o, d, world_lo, world_hi)
@@ -439,32 +538,62 @@ def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
     ds = d[order]
     ts = t_max[order]
 
-    mask = tile_treelet_mask(os_, ds, ts, tl, n_tiles).astype(jnp.int32)
+    mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
+    meta, n_pairs = _build_pairs(
+        mask, tl.oct_order, _tile_octants(ds, n_tiles))
     t_pad = -(-n_treelets // 128) * 128
-    mask3 = jnp.zeros((n_tiles, 1, t_pad), jnp.int32).at[:, 0, :n_treelets].set(mask)
+    tnear3 = jnp.full((n_tiles, 1, t_pad), 3.0e37, jnp.float32)
+    tnear3 = tnear3.at[:, 0, :n_treelets].set(tnear)
 
-    def rows(x):
-        return x.reshape(n_rows, LANES)
+    a6, d6 = _ray_matrices(os_, ds)
+    carry_in = (ts, jnp.full((n_pad,), -1, jnp.int32),
+                jnp.zeros((n_pad,), jnp.float32),
+                jnp.zeros((n_pad,), jnp.float32))
 
-    ray_comps = [rows(os_[:, 0]), rows(os_[:, 1]), rows(os_[:, 2]),
-                 rows(ds[:, 0]), rows(ds[:, 1]), rows(ds[:, 2]),
-                 rows(ts)]
-    row_spec = lambda: pl.BlockSpec((ROWS, LANES), lambda i, t: (i, 0))
-    tri_spec = lambda: pl.BlockSpec((1, 3, TREELET), lambda i, t: (t, 0, 0))
-    occ = pl.pallas_call(
-        _occlusion_kernel,
-        grid=(n_tiles, n_treelets),
-        in_specs=[
-            pl.BlockSpec((1, 1, t_pad), lambda i, t: (i, 0, 0)),
-            row_spec(), row_spec(), row_spec(),
-            row_spec(), row_spec(), row_spec(),
-            row_spec(),
-            tri_spec(), tri_spec(), tri_spec(),
-        ],
-        out_specs=[row_spec()],
-        out_shape=[jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)],
-        interpret=interpret,
-    )(mask3, *ray_comps, tl.p0, tl.e1, tl.e2)[0]
+    t_res, tri, b1, b2 = _sweep_chunks(
+        _closest_pairs_kernel, meta, n_pairs, tnear3, a6, d6, carry_in,
+        [], tl, n_tiles, interpret)
+
+    # unsort and strip padding
+    t_res = t_res.reshape(-1)[inv_order][:n]
+    tri = tri.reshape(-1)[inv_order][:n]
+    b1 = b1.reshape(-1)[inv_order][:n]
+    b2 = b2.reshape(-1)[inv_order][:n]
+    return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
+                    active=None):
+    """Occlusion-only pair sweep; front-to-back order plus the all-lanes-
+    resolved early-out make shadow rays the cheap half of the frame."""
+    t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37) * 0.9999
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+    o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
+    # padding lanes carry t_max=0 -> pre-resolved
+    t_max = t_max.at[n:].set(0.0) if n_pad > n else t_max
+    n_tiles = n_pad // RAY_TILE
+    n_treelets = tl.lo.shape[0]
+
+    keys = ray_sort_keys(o, d, world_lo, world_hi)
+    keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(keys)
+    inv_order = jnp.argsort(order)
+    os_ = o[order]
+    ds = d[order]
+    ts = t_max[order]
+
+    mask, _ = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
+    meta, n_pairs = _build_pairs(
+        mask, tl.oct_order, _tile_octants(ds, n_tiles))
+
+    a6, d6 = _ray_matrices(os_, ds)
+    occ0 = (ts <= 0.0).astype(jnp.int32)
+
+    (occ,) = _sweep_chunks(
+        _occlusion_pairs_kernel, meta, n_pairs, None, a6, d6, (occ0,),
+        [ts], tl, n_tiles, interpret)
 
     occ = occ.reshape(-1)[inv_order][:n]
     # lanes pre-resolved by t_max <= 0 (inactive/padding) are not occluded

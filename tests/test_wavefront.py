@@ -72,7 +72,8 @@ def test_tile_mask_is_conservative():
     os_ = jnp.asarray(o)[order]
     ds = jnp.asarray(d)[order]
 
-    mask = np.asarray(tile_treelet_mask(os_, ds, t_max, tl, 1))[0]
+    mask, _ = tile_treelet_mask(os_, ds, t_max, tl, 1)
+    mask = np.asarray(mask)[0]
     ref = brute_force_closest_hit(
         jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2), os_, ds, t_max
     )
