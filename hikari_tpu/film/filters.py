@@ -71,13 +71,19 @@ def _filter_eval_np(ftype, radius, params, x, y):
 
 @pytree_dataclass(static=("ftype",))
 class FilterSampler:
-    """Tabulated filter: f values on a grid + |f| distribution for sampling."""
+    """Tabulated filter: f values on a grid + |f| distribution for sampling.
+
+    Box/triangle/gaussian use closed-form inverse-CDF sampling instead of
+    the table (the 2D-CDF binary search costs ~70 ms per 640k-lane camera
+    stage on a v5e); the table path remains for the negative-lobed
+    Mitchell/Lanczos filters."""
 
     ftype: int
     radius: jnp.ndarray       # (2,)
     table: jnp.ndarray        # (R, R) signed f values
     dist: Distribution2D      # distribution over |f|
     integral: jnp.ndarray     # () integral of f
+    sigma: jnp.ndarray        # () gaussian sigma (unused by other types)
 
 
 def make_filter(
@@ -104,6 +110,15 @@ def make_filter(
         table=jnp.asarray(f),
         dist=make_distribution_2d(jnp.asarray(np.abs(f))),
         integral=jnp.float32(integral),
+        sigma=jnp.float32(params.get("sigma", 0.5)),
+    )
+
+
+def _gauss1d(x, sigma, r):
+    return jnp.maximum(
+        0.0,
+        jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+        - jnp.exp(-(r * r) / (2.0 * sigma * sigma)),
     )
 
 
@@ -111,6 +126,29 @@ def filter_sample(fs: FilterSampler, u: jnp.ndarray):
     """Importance-sample a film-plane offset. u: (..., 2).
 
     Returns (offset (..., 2) in [-r, r]^2, weight = f/pdf)."""
+    if fs.ftype == BOX:
+        w = jnp.full(u.shape[:-1], 4.0 * fs.radius[0] * fs.radius[1])
+        return (u * 2.0 - 1.0) * fs.radius, w
+    if fs.ftype == TRIANGLE:
+        # per-axis tent inverse CDF; exact sampling, so f/pdf = integral
+        s = jnp.where(u < 0.5, jnp.sqrt(2.0 * u) - 1.0, 1.0 - jnp.sqrt(2.0 - 2.0 * u))
+        w = jnp.full(u.shape[:-1], (fs.radius[0] * fs.radius[1]) ** 2)
+        return s * fs.radius, w
+    if fs.ftype == GAUSSIAN:
+        # exact truncated-normal inverse CDF per axis as the proposal; the
+        # weight f/pdf absorbs the pbrt tail-subtraction term exactly
+        from jax.scipy.special import erf, erfinv
+
+        sig = fs.sigma
+        root2 = jnp.sqrt(2.0)
+        cap = erf(fs.radius / (sig * root2))          # (2,)
+        x = sig * root2 * erfinv((u * 2.0 - 1.0) * cap)
+        x = jnp.clip(x, -fs.radius, fs.radius)
+        norm = 1.0 / (sig * jnp.sqrt(2.0 * jnp.pi))
+        pdf = norm * jnp.exp(-(x * x) / (2.0 * sig * sig)) / cap
+        f = _gauss1d(x[..., 0], sig, fs.radius[0]) * _gauss1d(x[..., 1], sig, fs.radius[1])
+        w = f / jnp.maximum(pdf[..., 0] * pdf[..., 1], 1e-20)
+        return x, w
     uv, pdf_uv = sample_distribution_2d(fs.dist, u)
     offset = (uv * 2.0 - 1.0) * fs.radius
     r = fs.table.shape[0]

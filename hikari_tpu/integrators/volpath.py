@@ -250,7 +250,16 @@ def _surface_data(scene: SceneData, rec, o, d):
         from ..sampling import u64 as u64m
 
         u_mix = u64m.to_u32(u64m.shr(h, 32)).astype(jnp.float32) * jnp.float32(2.3283064e-10)
-        use1 = u_mix < b.mix_amount[mi]
+        amount = b.mix_amount[mi]
+        if b.has_textures:
+            from ..textures.atlas import TexCtx as _TexCtx
+            from ..textures.atlas import eval_scalar as _eval_scalar
+
+            amount = _eval_scalar(
+                scene.atlas, b.mix_amount_tex[mi], amount,
+                _TexCtx(uv=uv, vcolor=vcol),
+            )
+        use1 = u_mix < amount
         child_t = jnp.where(use1, b.mix_m1_type[mi], b.mix_m2_type[mi])
         child_i = jnp.where(use1, b.mix_m1_idx[mi], b.mix_m2_idx[mi])
         mat_type = jnp.where(is_mix, child_t, mat_type)
@@ -272,6 +281,65 @@ def _crossing_medium(sd, direction):
     return jnp.where(entering_inside, sd["inside_med"], sd["outside_med"])
 
 
+ALPHA_ROUNDS = 4  # stochastic alpha re-trace cap (reference: 16, intersection.jl:223)
+
+
+def _alpha_keep(scene: SceneData, rec, u_salt: int = 0):
+    """Stochastic alpha test at a hit: keep with probability alpha, using a
+    deterministic hash of (tri, t) so the decision is stable per point
+    (stochastic alpha via hashed RNG, intersection.jl:223-252)."""
+    from ..sampling.hashes import hash_u32x2
+    from ..sampling import u64 as u64m
+    from ..textures.atlas import TexCtx, eval_scalar
+
+    tri = jnp.maximum(rec.tri, 0)
+    a = scene.alpha_const[tri]
+    uv = interpolate(rec.b1, rec.b2, scene.uv0[tri], scene.uv1[tri], scene.uv2[tri])
+    ctx = TexCtx(uv=uv, vcolor=jnp.ones(uv.shape[:-1] + (3,), jnp.float32))
+    a = eval_scalar(scene.atlas, scene.alpha_tex[tri], a, ctx)
+    ht = jax.lax.bitcast_convert_type(rec.t, jnp.uint32)
+    salt = (0x9E3779B9 * (u_salt + 1)) & 0xFFFFFFFF
+    h = hash_u32x2(ht, tri.astype(jnp.uint32) ^ jnp.uint32(salt))
+    u = u64m.to_u32(u64m.shr(h, 32)).astype(jnp.float32) * jnp.float32(2.3283064e-10)
+    return (~rec.hit) | (u < a)
+
+
+def _closest_hit_surface(scene: SceneData, o, d, t_max, active):
+    """Closest hit with stochastic alpha: hits that fail the alpha test are
+    skipped by re-tracing past them (bounded rounds; surviving lanes then
+    accept whatever they stand on, matching the reference's 16-try cap).
+
+    Returns a HitRecord with t relative to the original origin."""
+    from ..geometry.traverse import HitRecord
+
+    rec = scene_closest_hit(scene, o, d, t_max, active=active)
+    if not scene.has_alpha:
+        return rec
+    o_cur = o
+    t_off = jnp.zeros_like(rec.t)
+    live = active  # lanes whose current rec still needs the alpha test
+    for k in range(ALPHA_ROUNDS):
+        keep = _alpha_keep(scene, rec, u_salt=k)
+        retrace = live & rec.hit & ~keep
+        t_adv = rec.t + 1e-4
+        o_new = jnp.where(retrace[..., None], o_cur + t_adv[..., None] * d, o_cur)
+        t_off_new = jnp.where(retrace, t_off + t_adv, t_off)
+        rec2 = scene_closest_hit(
+            scene, o_new, d, jnp.maximum(t_max - t_off_new, 0.0), active=retrace
+        )
+        rec = HitRecord(
+            hit=jnp.where(retrace, rec2.hit, rec.hit),
+            t=jnp.where(retrace, rec2.t, rec.t),
+            tri=jnp.where(retrace, rec2.tri, rec.tri),
+            b1=jnp.where(retrace, rec2.b1, rec.b1),
+            b2=jnp.where(retrace, rec2.b2, rec.b2),
+        )
+        o_cur = o_new
+        t_off = t_off_new
+        live = retrace
+    return HitRecord(hit=rec.hit, t=rec.t + t_off, tri=rec.tri, b1=rec.b1, b2=rec.b2)
+
+
 def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
     """Shadow ray with transmittance: walk through up to
     MAX_INTERFACE_CROSSINGS interface boundaries, ratio-tracking the medium
@@ -283,7 +351,8 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
     from ..geometry.traverse import any_hit
 
     ones4 = 1.0 + jnp.zeros_like(lam)
-    if not scene.has_media and mt.INTERFACE not in scene.present_materials:
+    if (not scene.has_media and mt.INTERFACE not in scene.present_materials
+            and not scene.has_alpha):
         # fast path: plain occlusion test
         occluded = scene_any_hit(scene, o_sh, wi, t_max, active=active)
         T_ray = jnp.where(occluded[..., None], 0.0, ones4)
@@ -313,10 +382,14 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
         hit_something = running & rec.hit
         tri = jnp.maximum(rec.tri, 0)
         is_interface = scene.mat_type[tri] == mt.INTERFACE
-        blocked = hit_something & ~is_interface
+        passthrough = is_interface
+        if scene.has_alpha:
+            # alpha-failed occluders are transparent to shadow rays too
+            passthrough = passthrough | ~_alpha_keep(scene, rec, u_salt=7)
+        blocked = hit_something & ~passthrough
         T_ray = jnp.where(blocked[..., None], 0.0, T_ray)
 
-        crossing = hit_something & is_interface
+        crossing = hit_something & passthrough
         # advance through the interface
         p_hit = o_cur + rec.t[..., None] * wi
         ng_raw = triangle_normal(scene.bvh.p0[tri], scene.bvh.p1[tri], scene.bvh.p2[tri])
@@ -480,7 +553,7 @@ def render_lanes(
 
         t_max = jnp.full((n,), jnp.inf, jnp.float32) + zero
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        rec = scene_closest_hit(scene, o, d, t_max, active=alive)
+        rec = _closest_hit_surface(scene, o, d, t_max, alive)
         t_hit = jnp.where(rec.hit, rec.t, t_max)
 
         # --- volumetric segment: delta tracking up to the surface

@@ -95,14 +95,19 @@ def _invalid(shape):
 
 def _sample_dense_spectrum(table_rows: jnp.ndarray, idx: jnp.ndarray, lam: jnp.ndarray):
     """Linear interp of dense 1nm [360,830] spectra. table_rows (M, 471),
-    idx (...,), lam (..., 4) -> (..., 4)."""
+    idx (...,), lam (..., 4) -> (..., 4).
+
+    Gathers only the two needed bins per wavelength via flattened
+    (row, bin) indices — materializing whole 471-entry rows per lane costs
+    ~100x more gather traffic than the 8 values actually used."""
     n = table_rows.shape[-1]
     x = jnp.clip(lam - 360.0, 0.0, n - 1.001)
     i0 = jnp.floor(x).astype(jnp.int32)
     f = x - i0.astype(jnp.float32)
-    rows = table_rows[idx]  # (..., 471)
-    v0 = jnp.take_along_axis(rows, i0, axis=-1)
-    v1 = jnp.take_along_axis(rows, jnp.minimum(i0 + 1, n - 1), axis=-1)
+    flat = table_rows.reshape(-1)
+    base = idx[..., None] * n
+    v0 = flat[base + i0]
+    v1 = flat[base + jnp.minimum(i0 + 1, n - 1)]
     return v0 * (1.0 - f) + v1 * f
 
 

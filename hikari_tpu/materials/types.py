@@ -264,6 +264,7 @@ class MaterialBanks:
     mix_m2_type: jnp.ndarray     # (Nx,) int32
     mix_m2_idx: jnp.ndarray      # (Nx,) int32
     mix_amount: jnp.ndarray      # (Nx,)
+    mix_amount_tex: jnp.ndarray  # (Nx,) int32 texture ref (mix-material.jl amount texture)
     # coated diffuse (LayeredBxDF)
     cd_refl: jnp.ndarray         # (Ncd, 3)
     cd_refl_tex: jnp.ndarray     # (Ncd,) int32
@@ -340,6 +341,7 @@ def pack_materials(
                           "thick", "albedo", "g")}
     mix_rows: list[tuple[int, Mix]] = []  # (slot in `work`, material)
     mix_m1t, mix_m1i, mix_m2t, mix_m2i, mix_amt = [], [], [], [], []
+    mix_amt_tex = []
 
     # Mix children are reachable only through their parent; expand them into
     # the packing list (dedup by identity) so they get bank rows
@@ -486,7 +488,9 @@ def pack_materials(
         mix_m1i.append(int(idxs[j1]))
         mix_m2t.append(int(tags[j2]))
         mix_m2i.append(int(idxs[j2]))
-        mix_amt.append(float(m.amount))
+        amt, amt_tex = resolve_scalar(m.amount, default=0.5)
+        mix_amt.append(amt)
+        mix_amt_tex.append(amt_tex)
 
     def pad3(rows, default=(0.0, 0.0, 0.0)):
         return jnp.asarray(rows or [default], jnp.float32)
@@ -543,6 +547,7 @@ def pack_materials(
         mix_m2_type=pad1(mix_m2t, 0, jnp.int32),
         mix_m2_idx=pad1(mix_m2i, 0, jnp.int32),
         mix_amount=pad1(mix_amt, 0.5),
+        mix_amount_tex=pad1(mix_amt_tex, -1, jnp.int32),
         matte_kd_c4=a_c4(matte_kd, (0.5, 0.5, 0.5)),
         mirror_kr_c4=a_c4(mirror_kr, (1.0, 1.0, 1.0)),
         glass_kr_c4=a_c4(glass["kr"], (1.0, 1.0, 1.0)),
@@ -583,7 +588,8 @@ def pack_materials(
             int(v) != -1
             for lst in (matte_kd_tex, mirror_kr_tex, glass["kr_tex"],
                         glass["kt_tex"], glass["rough_tex"], cond_rough_tex,
-                        emis_le_tex, dt_refl_tex, dt_trans_tex, cd["refl_tex"])
+                        emis_le_tex, dt_refl_tex, dt_trans_tex, cd["refl_tex"],
+                        mix_amt_tex)
             for v in lst
         ),
     )

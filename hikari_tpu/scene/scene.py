@@ -28,8 +28,8 @@ from .mesh import TriangleMesh, compute_vertex_normals
 
 @pytree_dataclass(
     static=(
-        "present_materials", "n_lights", "n_faces", "has_media", "traversal",
-        "light_sampler",
+        "present_materials", "n_lights", "n_faces", "has_media", "has_alpha",
+        "traversal", "light_sampler",
     )
 )
 class SceneData:
@@ -51,6 +51,8 @@ class SceneData:
     arealight_idx: jnp.ndarray  # (F,) int32 area light id; -1 if none
     inside_medium: jnp.ndarray  # (F,) int32 medium id behind the face; -1 vacuum
     outside_medium: jnp.ndarray  # (F,) int32 medium id in front; -1 vacuum
+    alpha_const: jnp.ndarray    # (F,) surface alpha (1 = opaque)
+    alpha_tex: jnp.ndarray      # (F,) int32 alpha texture ref; -1 const
     treelets: "Treelets"        # packet-traversal triangle blocks
     materials: MaterialBanks
     atlas: "TextureAtlas"       # scene texture atlas (textures/atlas.py)
@@ -66,6 +68,7 @@ class SceneData:
     n_lights: int
     n_faces: int
     has_media: bool
+    has_alpha: bool = False
     # 'packets' = sorted-packet Pallas engine (TPU); 'skiplink' = per-lane
     # BVH walk (CPU); 'packets_interp' = packet engine in interpreter mode
     traversal: str = "skiplink"
@@ -80,6 +83,7 @@ class Scene:
         self._meshes: list[TriangleMesh] = []
         self._mesh_mat: list[int] = []
         self._mesh_media: list[tuple[int, int]] = []
+        self._mesh_alpha: list = []
         self._materials: list = []
         self._media: list = []
         self._lights: list = []
@@ -101,9 +105,14 @@ class Scene:
         self._media.append(medium)
         return len(self._media) - 1
 
-    def add(self, mesh: TriangleMesh, material, inside_medium=None, outside_medium=None) -> int:
+    def add(self, mesh: TriangleMesh, material, inside_medium=None, outside_medium=None,
+            alpha=None) -> int:
         """push!(scene, mesh, material) (scene-mesh.jl:9-17), optionally with
-        a MediumInterface (inside/outside media, scene.jl:91-102)."""
+        a MediumInterface (inside/outside media, scene.jl:91-102).
+
+        alpha: surface opacity in [0, 1] or an ImageTexture; hits are kept
+        stochastically with probability alpha (stochastic alpha testing,
+        intersection.jl:223-252)."""
         try:
             mat_id = self._materials.index(material)
         except ValueError:
@@ -114,6 +123,7 @@ class Scene:
         self._mesh_media.append(
             (self._medium_id(inside_medium), self._medium_id(outside_medium))
         )
+        self._mesh_alpha.append(alpha)
         return len(self._meshes) - 1
 
     def set_camera_medium(self, medium) -> None:
@@ -226,6 +236,23 @@ class Scene:
 
         atlas_builder = AtlasBuilder()
         banks, tags, idxs, present = pack_materials(self._materials, atlas_builder)
+
+        # per-face surface alpha (stochastic alpha testing)
+        from ..textures.atlas import ImageTexture
+
+        alpha_const_l, alpha_tex_l = [], []
+        for mesh, a in zip(self._meshes, self._mesh_alpha):
+            nf = len(mesh.faces)
+            if isinstance(a, ImageTexture):
+                alpha_const_l.append(np.ones(nf, np.float32))
+                alpha_tex_l.append(np.full(nf, atlas_builder.add(a), np.int32))
+            else:
+                alpha_const_l.append(
+                    np.full(nf, 1.0 if a is None else float(a), np.float32))
+                alpha_tex_l.append(np.full(nf, -1, np.int32))
+        alpha_const = np.concatenate(alpha_const_l)
+        alpha_tex = np.concatenate(alpha_tex_l)
+        has_alpha = bool((alpha_tex >= 0).any() or (alpha_const < 1.0).any())
         face_type = tags[mat_of_face]
         face_idx = idxs[mat_of_face]
 
@@ -295,6 +322,8 @@ class Scene:
             arealight_idx=jnp.asarray(arealight_idx[order]),
             inside_medium=jnp.asarray(inside_of_face[order]),
             outside_medium=jnp.asarray(outside_of_face[order]),
+            alpha_const=jnp.asarray(alpha_const[order]),
+            alpha_tex=jnp.asarray(alpha_tex[order]),
             treelets=build_treelets(p0[order], p1[order], p2[order]),
             materials=banks,
             atlas=atlas_builder.build(),
@@ -310,6 +339,7 @@ class Scene:
             n_lights=n_lights,
             n_faces=int(len(p0)),
             has_media=len(self._media) > 0,
+            has_alpha=has_alpha,
             traversal=traversal,
             light_sampler=self._light_sampler,
         )
