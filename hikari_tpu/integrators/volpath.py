@@ -215,7 +215,45 @@ def _eval_bsdf_dispatch(
     return f, pdf
 
 
-def _surface_data(scene: SceneData, rec, o, d):
+def _uv_screen_derivatives(camera, p, p0, p1, p2, uv0, uv1, uv2):
+    """Camera-based texture-filter derivatives: pbrt's approximate_dp_dxy
+    (one-pixel footprint scaled by camera depth) solved against the
+    triangle's dp/duv for (duvdx, duvdy)
+    (surface-eval.jl:32-141 / pbrt-v4 Camera::Approximate_dp_dxy)."""
+    w2c = camera.camera_to_world.inverse()
+    z = jnp.abs(w2c.apply_point(p)[..., 2:3])
+    dpdx = camera.camera_to_world.apply_vector(camera.dx_camera)[None, :] * z
+    dpdy = camera.camera_to_world.apply_vector(camera.dy_camera)[None, :] * z
+
+    dp1 = p1 - p0
+    dp2 = p2 - p0
+    duv1 = uv1 - uv0
+    duv2 = uv2 - uv0
+    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    ok_uv = jnp.abs(det) > 1e-12
+    inv = 1.0 / jnp.where(ok_uv, det, 1.0)
+    dpdu = (duv2[..., 1:2] * dp1 - duv1[..., 1:2] * dp2) * inv[..., None]
+    dpdv = (-duv2[..., 0:1] * dp1 + duv1[..., 0:1] * dp2) * inv[..., None]
+
+    a00 = jnp.sum(dpdu * dpdu, -1)
+    a01 = jnp.sum(dpdu * dpdv, -1)
+    a11 = jnp.sum(dpdv * dpdv, -1)
+    det_a = a00 * a11 - a01 * a01
+    ok = ok_uv & (jnp.abs(det_a) > 1e-20)
+    inv_a = 1.0 / jnp.where(ok, det_a, 1.0)
+
+    def solve(dp):
+        b0 = jnp.sum(dpdu * dp, -1)
+        b1 = jnp.sum(dpdv * dp, -1)
+        du = (a11 * b0 - a01 * b1) * inv_a
+        dv = (a00 * b1 - a01 * b0) * inv_a
+        duv = jnp.stack([du, dv], -1)
+        return jnp.where(ok[..., None], duv, 0.0)
+
+    return solve(dpdx), solve(dpdy)
+
+
+def _surface_data(scene: SceneData, rec, o, d, camera=None):
     """Gather hit-point attributes. Returns dict of per-lane arrays."""
     from ..textures.atlas import TexCtx
 
@@ -232,6 +270,13 @@ def _surface_data(scene: SceneData, rec, o, d):
     ng = face_forward(ng_raw, ns)
     uv = interpolate(rec.b1, rec.b2, scene.uv0[tri], scene.uv1[tri], scene.uv2[tri])
     vcol = interpolate(rec.b1, rec.b2, scene.c0[tri], scene.c1[tri], scene.c2[tri])
+
+    duvdx = duvdy = None
+    if camera is not None and scene.materials.has_textures:
+        duvdx, duvdy = _uv_screen_derivatives(
+            camera, p_hit, p0, p1, p2,
+            scene.uv0[tri], scene.uv1[tri], scene.uv2[tri],
+        )
 
     mat_type = scene.mat_type[tri]
     mat_idx = scene.mat_idx[tri]
@@ -270,7 +315,7 @@ def _surface_data(scene: SceneData, rec, o, d):
         mat_type=mat_type, mat_idx=mat_idx,
         arealight=scene.arealight_idx[tri],
         inside_med=scene.inside_medium[tri], outside_med=scene.outside_medium[tri],
-        tex=(scene.atlas, TexCtx(uv=uv, vcolor=vcol)),
+        tex=(scene.atlas, TexCtx(uv=uv, vcolor=vcol, duvdx=duvdx, duvdy=duvdy)),
     )
 
 
@@ -571,17 +616,22 @@ def render_lanes(
             alive = alive & ~absorbed
             p_scatter = dt.p_scatter
             g_scatter = dt.g
+            # deflected media bend the ray at null events; the carried
+            # direction feeds the env lookup and phase frame
+            # (delta-tracking.jl:442 + escaped-ray handling)
+            d_med = jnp.where(in_medium[..., None], dt.d_out, d)
         else:
             scattered = zero != 0.0
             p_scatter = o
             g_scatter = zero
+            d_med = d
 
         reach = alive & ~scattered  # lanes that reach the surface / escape
 
         # --- escaped rays: environment + ambient (intersection.jl:622-677)
         escaped = reach & ~rec.hit
         if scene.lights.has_env:
-            le_env, pdf_env = lt.env_radiance(scene.lights, scene.rgb2spec, d, lam)
+            le_env, pdf_env = lt.env_radiance(scene.lights, scene.rgb2spec, d_med, lam)
             # pmf of selecting the env light (flat list tail)
             if scene.light_sampler == "bvh":
                 from ..lights.bvh_sampler import bvh_pmf
@@ -608,7 +658,7 @@ def render_lanes(
         alive = alive & (rec.hit | scattered)
 
         # --- surface interaction (vp_process_surface_hits_kernel!)
-        sd = _surface_data(scene, rec, o, d)
+        sd = _surface_data(scene, rec, o, d, camera)
         hit = reach & rec.hit
         wo = -d
         is_interface = sd["mat_type"] == mt.INTERFACE
@@ -678,7 +728,8 @@ def render_lanes(
             )
             f_hat_s = f_s * jnp.abs(wi_l[..., 2])[..., None]
             # medium lanes: phase function value (= its pdf)
-            ph = ms.hg_eval(g_scatter, wo, ls.wi)
+            wo_ph = -jnp.where(scattered[..., None], d_med, d)
+            ph = ms.hg_eval(g_scatter, wo_ph, ls.wi)
             f_hat = jnp.where(scattered[..., None], ph[..., None], f_hat_s)
             pdf_b = jnp.where(scattered, ph, pdf_s)
 
@@ -722,7 +773,8 @@ def render_lanes(
         thr = bs.f * (cos_i / jnp.maximum(bs.pdf, 1e-12))[..., None]
 
         # medium HG sample (vp_sample_medium_scatter!, medium-scatter.jl)
-        wi_med, pdf_med = ms.hg_sample(g_scatter, wo, ub)
+        wi_med, pdf_med = ms.hg_sample(
+            g_scatter, -jnp.where(scattered[..., None], d_med, d), ub)
 
         surf_go = hit & ~is_interface & bs.valid & (bs.pdf > 0.0) & jnp.any(thr > 0.0, -1)
         med_go = scattered & (pdf_med > 0.0)

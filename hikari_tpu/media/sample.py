@@ -225,6 +225,19 @@ def medium_properties(banks: MediumBanks, table, midx, p, lam):
     return sa, ss, le, g
 
 
+def _deflect(banks: MediumBanks, mi, p, d, dt):
+    """apply_deflection hook (media.jl:2039): gravitational bending toward
+    defl_center with per-medium strength; identity when strength is 0."""
+    c = banks.defl_center[mi]
+    s = banks.defl_strength[mi]
+    r = c - p
+    rn2 = jnp.sum(r * r, -1, keepdims=True)
+    accel = r / jnp.maximum(rn2 * jnp.sqrt(rn2), 1e-9)
+    d_new = d + dt[..., None] * s[..., None] * accel
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(d_new * d_new, -1, keepdims=True), 1e-20))
+    return jnp.where((s > 0.0)[..., None], d_new / norm, d)
+
+
 def _spectral_majorant_base(banks: MediumBanks, table, midx, lam):
     """Wavelength-dependent majorant basis: times the per-cell scalar it
     bounds sigma_t. GRID/HOMOGENEOUS: uplift(sa+ss); RGBGRID: the cell
@@ -246,7 +259,9 @@ def majorant_cell(banks: MediumBanks, midx, p):
     q = jnp.clip((p - lo) / ext, 0.0, 1.0 - 1e-6)
     c = (q * MAJORANT_RES).astype(jnp.int32)
     cell = banks.maj[midx, c[..., 2], c[..., 1], c[..., 0]]
-    return jnp.where(is_spatial, cell, 1.0)
+    # homogeneous media use max_density as a (possibly inflated) majorant
+    # scale so null-scattering events exist when deflection needs them
+    return jnp.where(is_spatial, cell, banks.max_density[midx])
 
 
 def majorant_cell_exit(banks: MediumBanks, midx, o, d, t, t1):
@@ -307,6 +322,8 @@ class DeltaTrackResult:
     r_l: jnp.ndarray        # (N, 4)
     L_emit: jnp.ndarray     # (N, 4) accumulated volumetric emission
     g: jnp.ndarray          # (N,) HG g at the scatter point
+    d_out: jnp.ndarray      # (N, 3) ray direction after tracking (bent by
+                            # apply_deflection at null events; = d otherwise)
 
 
 def delta_track(
@@ -346,6 +363,9 @@ def delta_track(
         rng=rng,
         step=jnp.zeros((), jnp.int32) + jnp.sum(zero_vec).astype(jnp.int32),
     )
+    if banks.has_deflection:
+        state["p"] = o + t0[..., None] * d
+        state["dv"] = d + jnp.zeros_like(o)
 
     def cond(s):
         return jnp.any(s["status"] == TRACKING) & (s["step"] < MAX_TRACK_STEPS)
@@ -354,11 +374,21 @@ def delta_track(
         tracking = s["status"] == TRACKING
         # per-cell majorant at the current position (MajorantGrid + DDA:
         # the cell exit is recomputed statelessly each step)
-        p_cur = o + s["t"][..., None] * d
-        cell = majorant_cell(banks, mi, p_cur)
+        if banks.has_deflection:
+            p_cur = s["p"]
+            d_cur = s["dv"]
+            cell = majorant_cell(banks, mi, p_cur)
+            t_loc = majorant_cell_exit(
+                banks, mi, p_cur, d_cur, jnp.zeros_like(s["t"]),
+                jnp.maximum(t1 - s["t"], 0.0))
+            t_cell_end = s["t"] + t_loc
+        else:
+            p_cur = o + s["t"][..., None] * d
+            d_cur = d
+            cell = majorant_cell(banks, mi, p_cur)
+            t_cell_end = majorant_cell_exit(banks, mi, o, d, s["t"], t1)
         sig_maj = sig_base * cell[..., None]
         sig_maj0 = sig_maj[..., 0]
-        t_cell_end = majorant_cell_exit(banks, mi, o, d, s["t"], t1)
 
         rng, u = lcg_next(s["rng"])
         dt = -jnp.log(jnp.maximum(1e-10, 1.0 - u)) / jnp.maximum(sig_maj0, 1e-10)
@@ -385,7 +415,7 @@ def delta_track(
         # interaction candidate
         inter = tracking & ~past
         t_maj = jnp.exp(-dt[..., None] * sig_maj)
-        p = o + t_new[..., None] * d
+        p = p_cur + dt[..., None] * d_cur
         sa, ss_, le, g = medium_properties(banks, table, mi, p, lam)
         # imperfect majorants (rgb uplift overshoot) are clamped: a tiny
         # bias pbrt accepts the same way
@@ -442,15 +472,28 @@ def delta_track(
         # record scatter t for position reconstruction
         t = jnp.where(scatter, t_new, t)
 
-        return dict(
+        out = dict(
             status=status, t=t, beta=beta, r_u=r_u, r_l=r_l, L=L, rng=rng,
             step=s["step"] + 1,
         )
+        if banks.has_deflection:
+            dt_remain3 = jnp.maximum(t_cell_end - s["t"], 0.0)[..., None]
+            p_next = jnp.where(upd[..., None], p_cur + dt_remain3 * d_cur, p_cur)
+            p_next = jnp.where((null | scatter)[..., None], p, p_next)
+            d_new = _deflect(banks, mi, p, d_cur, dt)
+            out["p"] = p_next
+            out["dv"] = jnp.where(null[..., None], d_new, d_cur)
+        return out
 
     state = jax.lax.while_loop(cond, body, state)
     status = jnp.where(state["status"] == TRACKING, PASSED, state["status"])
     t_sc = state["t"]
-    p_sc = o + t_sc[..., None] * d
+    if banks.has_deflection:
+        p_sc = state["p"]
+        d_out = jnp.where(active[..., None], state["dv"], d)
+    else:
+        p_sc = o + t_sc[..., None] * d
+        d_out = d
     _, _, _, g = medium_properties(banks, table, mi, p_sc, lam)
     return DeltaTrackResult(
         status=jnp.where(active, status, PASSED),
@@ -461,6 +504,7 @@ def delta_track(
         r_l=jnp.where(active[..., None], state["r_l"], r_l),
         L_emit=jnp.where(active[..., None], state["L"], 0.0),
         g=g,
+        d_out=d_out,
     )
 
 

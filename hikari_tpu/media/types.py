@@ -38,6 +38,13 @@ class HomogeneousMedium:
     le: tuple = (0.0, 0.0, 0.0)
     g: float = 0.0
     scale: float = 1.0
+    # optional ray bending at null-scatter events (apply_deflection hook,
+    # media.jl:2039): ("gravity", (cx, cy, cz), strength) or None
+    deflection: tuple | None = None
+    # majorant inflation (>1 introduces null-scattering events in an
+    # otherwise exact homogeneous majorant — required for deflection to
+    # sample bending points, like the reference's SpacetimeMedium)
+    majorant_scale: float = 1.0
 
 
 @dataclass
@@ -56,6 +63,7 @@ class GridMedium:
     le: tuple = (0.0, 0.0, 0.0)
     g: float = 0.0
     scale: float = 1.0
+    deflection: tuple | None = None
 
 
 @dataclass
@@ -73,6 +81,7 @@ class RGBGridMedium:
     sigma_s_scale: float = 1.0
     le_scale: float = 1.0
     g: float = 0.0
+    deflection: tuple | None = None
 
 
 def CloudVolume(
@@ -130,7 +139,7 @@ def Smoke(scale=1.0):
     return medium_preset("Smoke", scale, g=0.0)
 
 
-@pytree_dataclass(static=("n_media", "has_grid"))
+@pytree_dataclass(static=("n_media", "has_grid", "has_deflection",))
 class MediumBanks:
     med_type: jnp.ndarray      # (M,) HOMOGENEOUS / GRID / RGBGRID
     sigma_a: jnp.ndarray       # (M, 3) rgb, pre-scaled (per-density for grids)
@@ -155,8 +164,11 @@ class MediumBanks:
     max_density: jnp.ndarray   # (M,) global majorant scale
     # per-cell majorant grids: scale factor on (sigma_a+sigma_s) uplift
     maj: jnp.ndarray           # (M, R, R, R) float32
+    defl_strength: jnp.ndarray  # (M,) 0 = straight rays
+    defl_center: jnp.ndarray    # (M, 3)
     n_media: int
     has_grid: bool
+    has_deflection: bool = False
 
 
 def _build_majorant_cells(d: np.ndarray) -> np.ndarray:
@@ -182,6 +194,7 @@ def _build_majorant_cells(d: np.ndarray) -> np.ndarray:
 
 def pack_media(media: list) -> MediumBanks:
     types, sa, ss, le, g = [], [], [], [], []
+    defl_s, defl_c = [], []
     blo, bhi, goff, gres, maxd = [], [], [], [], []
     roff = []
     flat = []
@@ -192,6 +205,15 @@ def pack_media(media: list) -> MediumBanks:
     has_grid = False
     r = MAJORANT_RES
     for m in media:
+        d_spec = getattr(m, "deflection", None)
+        if d_spec is None:
+            defl_s.append(0.0)
+            defl_c.append((0.0, 0.0, 0.0))
+        else:
+            kind, center, strength = d_spec
+            assert kind == "gravity", d_spec
+            defl_s.append(float(strength))
+            defl_c.append(tuple(float(x) for x in center))
         if isinstance(m, HomogeneousMedium):
             types.append(HOMOGENEOUS)
             sa.append(np.asarray(m.sigma_a) * m.scale)
@@ -203,7 +225,7 @@ def pack_media(media: list) -> MediumBanks:
             goff.append(0)
             roff.append(0)
             gres.append((1, 1, 1))
-            maxd.append(1.0)
+            maxd.append(float(getattr(m, "majorant_scale", 1.0)))
             majs.append(np.ones((r, r, r), np.float32))
         elif isinstance(m, GridMedium):
             has_grid = True
@@ -283,6 +305,8 @@ def pack_media(media: list) -> MediumBanks:
             rgb_offset=jnp.zeros((1,), jnp.int32),
             max_density=jnp.ones((1,), jnp.float32),
             maj=jnp.ones((1, r, r, r), jnp.float32),
+            defl_strength=jnp.zeros((1,), jnp.float32),
+            defl_center=jnp.zeros((1, 3), jnp.float32),
             n_media=0,
             has_grid=False,
         )
@@ -319,6 +343,9 @@ def pack_media(media: list) -> MediumBanks:
         rgb_offset=jnp.asarray(roff, jnp.int32),
         max_density=jnp.asarray(maxd, jnp.float32),
         maj=jnp.asarray(np.stack(majs)),
+        defl_strength=jnp.asarray(defl_s, jnp.float32),
+        defl_center=jnp.asarray(np.asarray(defl_c, np.float32)),
         n_media=n,
         has_grid=has_grid,
+        has_deflection=any(s != 0.0 for s in defl_s),
     )

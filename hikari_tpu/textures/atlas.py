@@ -45,10 +45,16 @@ class VertexColorTexture:
 
 @pytree_dataclass
 class TextureAtlas:
-    data: jnp.ndarray       # (T, 3) float32 texels, all images concatenated
-    offset: jnp.ndarray     # (K,) int32
-    width: jnp.ndarray      # (K,) int32
-    height: jnp.ndarray     # (K,) int32
+    """All scene images + their mip pyramids in one flat texel buffer.
+
+    Level arrays are (K, L) with the last real level repeated out to L so
+    lookups never index past a texture's pyramid (MIPMap parity: the
+    reference filters via TextureFilterContext derivatives)."""
+
+    data: jnp.ndarray       # (T, 3) float32 texels, all levels concatenated
+    offset: jnp.ndarray     # (K, L) int32 per-level start
+    width: jnp.ndarray      # (K, L) int32
+    height: jnp.ndarray     # (K, L) int32
     uv_scale: jnp.ndarray   # (K, 2)
 
 
@@ -72,22 +78,55 @@ class AtlasBuilder:
         if not self.images:
             return TextureAtlas(
                 data=jnp.zeros((1, 3), jnp.float32),
-                offset=jnp.zeros((1,), jnp.int32),
-                width=jnp.ones((1,), jnp.int32),
-                height=jnp.ones((1,), jnp.int32),
+                offset=jnp.zeros((1, 1), jnp.int32),
+                width=jnp.ones((1, 1), jnp.int32),
+                height=jnp.ones((1, 1), jnp.int32),
                 uv_scale=jnp.ones((1, 2), jnp.float32),
             )
-        offs, ws, hs = [], [], []
-        cur = 0
+
+        def downsample(im):
+            h, w, _ = im.shape
+            if h > 1 and h % 2:
+                im = np.concatenate([im, im[-1:]], axis=0)
+            if w > 1 and w % 2:
+                im = np.concatenate([im, im[:, -1:]], axis=1)
+            h, w, _ = im.shape
+            nh, nw = max(h // 2, 1), max(w // 2, 1)
+            if h == 1:
+                return 0.5 * (im[:, 0::2] + im[:, 1::2]) if w > 1 else im
+            if w == 1:
+                return 0.5 * (im[0::2] + im[1::2])
+            return 0.25 * (im[0::2, 0::2] + im[1::2, 0::2]
+                           + im[0::2, 1::2] + im[1::2, 1::2])
+
+        pyramids = []
         for img in self.images:
-            h, w, _ = img.shape
-            offs.append(cur)
-            ws.append(w)
-            hs.append(h)
-            cur += h * w
-        data = np.concatenate([im.reshape(-1, 3) for im in self.images])
+            levels = [img]
+            while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+                levels.append(downsample(levels[-1]))
+            pyramids.append(levels)
+        lmax = max(len(p) for p in pyramids)
+
+        chunks, offs, ws, hs = [], [], [], []
+        cur = 0
+        for levels in pyramids:
+            o_row, w_row, h_row = [], [], []
+            for im in levels:
+                h, w, _ = im.shape
+                o_row.append(cur)
+                w_row.append(w)
+                h_row.append(h)
+                chunks.append(im.reshape(-1, 3))
+                cur += h * w
+            while len(o_row) < lmax:  # repeat the 1x1 tail level
+                o_row.append(o_row[-1])
+                w_row.append(w_row[-1])
+                h_row.append(h_row[-1])
+            offs.append(o_row)
+            ws.append(w_row)
+            hs.append(h_row)
         return TextureAtlas(
-            data=jnp.asarray(data),
+            data=jnp.asarray(np.concatenate(chunks)),
             offset=jnp.asarray(offs, jnp.int32),
             width=jnp.asarray(ws, jnp.int32),
             height=jnp.asarray(hs, jnp.int32),
@@ -98,18 +137,24 @@ class AtlasBuilder:
 @pytree_dataclass
 class TexCtx:
     """Per-lane evaluation context (the reference's TextureFilterContext,
-    texture-ref.jl:21-33, minus screen-space derivatives for now)."""
+    texture-ref.jl:21-33)."""
 
     uv: jnp.ndarray       # (..., 2)
     vcolor: jnp.ndarray   # (..., 3) interpolated vertex color
+    duvdx: jnp.ndarray | None = None  # (..., 2) screen-space uv derivative
+    duvdy: jnp.ndarray | None = None
 
 
-def atlas_lookup(atlas: TextureAtlas, tex: jnp.ndarray, uv: jnp.ndarray):
-    """Bilinear wrap-mode fetch. tex (...,) int32 >= 0, uv (..., 2) -> (..., 3)."""
+def atlas_lookup(atlas: TextureAtlas, tex: jnp.ndarray, uv: jnp.ndarray,
+                 level=None):
+    """Bilinear wrap-mode fetch at one mip level. tex (...,) int32 >= 0,
+    uv (..., 2) -> (..., 3)."""
     t = jnp.maximum(tex, 0)
-    off = atlas.offset[t]
-    w = atlas.width[t]
-    h = atlas.height[t]
+    if level is None:
+        level = jnp.zeros_like(t)
+    off = atlas.offset[t, level]
+    w = atlas.width[t, level]
+    h = atlas.height[t, level]
     sc = atlas.uv_scale[t]
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
@@ -142,15 +187,43 @@ def atlas_lookup(atlas: TextureAtlas, tex: jnp.ndarray, uv: jnp.ndarray):
     )
 
 
+def _lod(atlas: TextureAtlas, tex, ctx: TexCtx):
+    """Trilinear level of detail from the uv screen derivatives:
+    log2 of the pixel footprint in base-level texels."""
+    t = jnp.maximum(tex, 0)
+    w0 = atlas.width[t, 0].astype(jnp.float32)
+    h0 = atlas.height[t, 0].astype(jnp.float32)
+    sc = atlas.uv_scale[t]
+    dx = ctx.duvdx * sc
+    dy = ctx.duvdy * sc
+    fx = jnp.sqrt((dx[..., 0] * w0) ** 2 + (dx[..., 1] * h0) ** 2)
+    fy = jnp.sqrt((dy[..., 0] * w0) ** 2 + (dy[..., 1] * h0) ** 2)
+    width = jnp.maximum(jnp.maximum(fx, fy), 1e-8)
+    return jnp.clip(jnp.log2(width), 0.0, atlas.offset.shape[1] - 1.001)
+
+
+def textured_lookup(atlas: TextureAtlas, tex, ctx: TexCtx):
+    """Trilinearly filtered lookup when derivatives are available."""
+    if ctx.duvdx is None or atlas.offset.shape[1] == 1:
+        return atlas_lookup(atlas, tex, ctx.uv)
+    lod = _lod(atlas, tex, ctx)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    f = (lod - l0.astype(jnp.float32))[..., None]
+    c0 = atlas_lookup(atlas, tex, ctx.uv, l0)
+    c1 = atlas_lookup(atlas, tex, ctx.uv,
+                      jnp.minimum(l0 + 1, atlas.offset.shape[1] - 1))
+    return c0 * (1.0 - f) + c1 * f
+
+
 def eval_rgb(atlas: TextureAtlas, tex: jnp.ndarray, const_rgb: jnp.ndarray, ctx: TexCtx):
     """Resolve an RGB material field: image / vertex-color / constant
     (eval_tex, texture-ref.jl)."""
-    img = atlas_lookup(atlas, tex, ctx.uv)
+    img = textured_lookup(atlas, tex, ctx)
     out = jnp.where((tex >= 0)[..., None], img, const_rgb)
     return jnp.where((tex == VERTEX_TEX)[..., None], ctx.vcolor, out)
 
 
 def eval_scalar(atlas: TextureAtlas, tex: jnp.ndarray, const_v: jnp.ndarray, ctx: TexCtx):
     """Resolve a scalar field (roughness etc.): channel 0 of the texture."""
-    img = atlas_lookup(atlas, tex, ctx.uv)[..., 0]
+    img = textured_lookup(atlas, tex, ctx)[..., 0]
     return jnp.where(tex >= 0, img, const_v)
