@@ -30,6 +30,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..core.lookup import bank_lookup as _bl
+
 from ..camera.camera import CameraSample, PerspectiveCamera
 from ..core.ray import spawn_ray
 from ..core.vecmath import dot, face_forward, make_frame, normalize, to_local, to_world
@@ -680,7 +682,7 @@ def render_lanes(
 
                 pmf_area = bvh_pmf(scene.light_bvh, prev_p, prev_ns, area_flat)
             else:
-                pmf_area = scene.lights.pmf[area_flat]
+                pmf_area = _bl(scene.lights.pmf, area_flat)
             pdf_light = lt.area_light_pdf(
                 scene.lights, jnp.maximum(sd["arealight"], 0), prev_p, sd["p"], sd["ng"]
             ) * pmf_area
@@ -708,8 +710,8 @@ def render_lanes(
                 )
             else:
                 li_flat, pmf_sel = lt.sample_light_index(scene.lights, ul)
-            ltype = scene.lights.light_type[li_flat]
-            lidx = scene.lights.light_idx[li_flat]
+            ltype = _bl(scene.lights.light_type, li_flat)
+            lidx = _bl(scene.lights.light_idx, li_flat)
             p_ref = jnp.where(scattered[..., None], p_scatter, sd["p"])
             ls = lt.sample_li(
                 scene.lights, scene.rgb2spec, ltype, lidx, p_ref, lam, ul2,

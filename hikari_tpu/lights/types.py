@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+
+from ..core.lookup import bank_lookup as _bl
 import numpy as np
 
 from ..core.pytree import pytree_dataclass
@@ -343,8 +345,8 @@ def sample_light_index(banks: LightBanks, u: jnp.ndarray):
     su = u * n
     i = jnp.clip(su.astype(jnp.int32), 0, n - 1)
     f = su - i.astype(jnp.float32)
-    idx = jnp.where(f < banks.alias_q[i], i, banks.alias_j[i])
-    return idx, banks.pmf[idx]
+    idx = jnp.where(f < _bl(banks.alias_q, i), i, _bl(banks.alias_j, i))
+    return idx, _bl(banks.pmf, idx)
 
 
 @pytree_dataclass
@@ -384,7 +386,7 @@ def sample_li(
     eps = 1e-3
 
     # --- point
-    lp = banks.point_pos[lidx % banks.point_pos.shape[0]]
+    lp = _bl(banks.point_pos, lidx % banks.point_pos.shape[0])
     to_l = lp - p
     dist2 = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-12)
     dist = jnp.sqrt(dist2)
@@ -392,44 +394,44 @@ def sample_li(
     from ..spectral.rgb2spec import coeff4_illuminant_eval
 
     li_pt = coeff4_illuminant_eval(
-        banks.point_i_c4[lidx % banks.point_i_c4.shape[0]], lam
+        _bl(banks.point_i_c4, lidx % banks.point_i_c4.shape[0]), lam
     ) / dist2[..., None]
 
     # --- spot
-    sp = banks.spot_pos[lidx % banks.spot_pos.shape[0]]
+    sp = _bl(banks.spot_pos, lidx % banks.spot_pos.shape[0])
     to_s = sp - p
     d2s = jnp.maximum(jnp.sum(to_s * to_s, -1), 1e-12)
     ds = jnp.sqrt(d2s)
     wi_sp = to_s / ds[..., None]
-    cos_t = dot(-wi_sp, banks.spot_dir[lidx % banks.spot_dir.shape[0]])
-    ct = banks.spot_cos_total[lidx % banks.spot_cos_total.shape[0]]
-    cf = banks.spot_cos_falloff[lidx % banks.spot_cos_falloff.shape[0]]
+    cos_t = dot(-wi_sp, _bl(banks.spot_dir, lidx % banks.spot_dir.shape[0]))
+    ct = _bl(banks.spot_cos_total, lidx % banks.spot_cos_total.shape[0])
+    cf = _bl(banks.spot_cos_falloff, lidx % banks.spot_cos_falloff.shape[0])
     t = jnp.clip((cos_t - ct) / jnp.maximum(cf - ct, 1e-6), 0.0, 1.0)
     falloff = (t * t) * (t * t)  # pbrt quartic falloff between cone edges
     li_sp = coeff4_illuminant_eval(
-        banks.spot_i_c4[lidx % banks.spot_i_c4.shape[0]], lam
+        _bl(banks.spot_i_c4, lidx % banks.spot_i_c4.shape[0]), lam
     ) * (falloff / d2s)[..., None]
 
     # --- distant
-    dd = banks.dist_dir[lidx % banks.dist_dir.shape[0]]
+    dd = _bl(banks.dist_dir, lidx % banks.dist_dir.shape[0])
     wi_di = -dd
-    li_di = coeff4_illuminant_eval(banks.dist_l_c4[lidx % banks.dist_l_c4.shape[0]], lam)
+    li_di = coeff4_illuminant_eval(_bl(banks.dist_l_c4, lidx % banks.dist_l_c4.shape[0]), lam)
     t_di = 2.0 * scene_radius
 
     # --- area: uniform triangle sampling (diffuse-area.jl:25-60)
     ai = lidx % banks.area_p0.shape[0]
-    p_l, _, _ = sample_triangle(u2[..., 0], u2[..., 1], banks.area_p0[ai], banks.area_p1[ai], banks.area_p2[ai])
+    p_l, _, _ = sample_triangle(u2[..., 0], u2[..., 1], _bl(banks.area_p0, ai), _bl(banks.area_p1, ai), _bl(banks.area_p2, ai))
     to_a = p_l - p
     d2a = jnp.maximum(jnp.sum(to_a * to_a, -1), 1e-12)
     da = jnp.sqrt(d2a)
     wi_ar = to_a / da[..., None]
-    n_l = banks.area_n[ai]
+    n_l = _bl(banks.area_n, ai)
     cos_l = dot(n_l, -wi_ar)
-    facing = (cos_l > 0.0) | banks.area_two_sided[ai]
-    area = jnp.maximum(banks.area_area[ai], 1e-12)
+    facing = (cos_l > 0.0) | _bl(banks.area_two_sided, ai)
+    area = jnp.maximum(_bl(banks.area_area, ai), 1e-12)
     pdf_ar = d2a / jnp.maximum(jnp.abs(cos_l) * area, 1e-9)
     li_ar = jnp.where(
-        facing[..., None], coeff4_illuminant_eval(banks.area_le_c4[ai], lam), 0.0
+        facing[..., None], coeff4_illuminant_eval(_bl(banks.area_le_c4, ai), lam), 0.0
     )
 
     # --- environment: importance-sample the equal-area map
@@ -491,8 +493,8 @@ def env_radiance(banks: LightBanks, table, d: jnp.ndarray, lam: jnp.ndarray):
 
 def area_light_radiance(banks: LightBanks, table, aidx, wo_dot_n, lam):
     """Le seen when a path hits an emissive face (arealight_Le)."""
-    facing = (wo_dot_n > 0.0) | banks.area_two_sided[aidx]
-    le = _illum(table, banks.area_le[aidx], lam)
+    facing = (wo_dot_n > 0.0) | _bl(banks.area_two_sided, aidx)
+    le = _illum(table, _bl(banks.area_le, aidx), lam)
     return jnp.where(facing[..., None], le, 0.0)
 
 
@@ -502,5 +504,5 @@ def area_light_pdf(banks: LightBanks, aidx, p_ref, p_hit, n_hit):
     d2 = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-12)
     wi = to_l / jnp.sqrt(d2)[..., None]
     cos_l = jnp.abs(dot(n_hit, -wi))
-    area = jnp.maximum(banks.area_area[aidx], 1e-12)
+    area = jnp.maximum(_bl(banks.area_area, aidx), 1e-12)
     return d2 / jnp.maximum(cos_l * area, 1e-9)

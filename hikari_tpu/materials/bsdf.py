@@ -15,7 +15,10 @@ a handful of vectorized passes instead of a branch tree.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+from ..core.lookup import bank_lookup as _bl
 
 from ..core.pytree import pytree_dataclass
 from ..core.vecmath import abs_cos_theta, normalize, reflect, refract, same_hemisphere
@@ -34,11 +37,11 @@ INV_PI = 1.0 / jnp.pi
 
 def _tex_rgb(banks_field, tex_field, idx, tex):
     """Resolve a possibly-textured RGB field. tex = (atlas, ctx) or None."""
-    const = banks_field[idx]
+    const = _bl(banks_field, idx)
     if tex is None:
         return const
     atlas, ctx = tex
-    return eval_rgb(atlas, tex_field[idx], const, ctx)
+    return eval_rgb(atlas, _bl(tex_field, idx), const, ctx)
 
 
 def _albedo_spec(banks, c4_field, rgb_field, tex_field, idx, tex, table, lam):
@@ -49,12 +52,12 @@ def _albedo_spec(banks, c4_field, rgb_field, tex_field, idx, tex, table, lam):
     from ..spectral.rgb2spec import coeff4_eval
     from ..textures.atlas import CONST_TEX
 
-    spec = coeff4_eval(c4_field[idx], lam)
+    spec = coeff4_eval(_bl(c4_field, idx), lam)
     if tex is None or not banks.has_textures:
         return spec
     atlas, ctx = tex
-    t = tex_field[idx]
-    rgb_t = eval_rgb(atlas, t, rgb_field[idx], ctx)
+    t = _bl(tex_field, idx)
+    rgb_t = eval_rgb(atlas, t, _bl(rgb_field, idx), ctx)
     spec_t = rgb_albedo_eval(table, jnp.clip(rgb_t, 0.0, 1.0), lam)
     return jnp.where((t == CONST_TEX)[..., None], spec, spec_t)
 
@@ -65,7 +68,7 @@ def _tex_alpha(base_alpha, tex_field, idx, tex):
     if tex is None:
         return base_alpha
     atlas, ctx = tex
-    t = tex_field[idx]
+    t = _bl(tex_field, idx)
     r = eval_scalar(atlas, t, jnp.zeros_like(base_alpha), ctx)
     return jnp.where(t >= 0, jnp.sqrt(jnp.clip(r, 0.0, 1.0)), base_alpha)
 
@@ -108,7 +111,9 @@ def _sample_dense_spectrum(table_rows: jnp.ndarray, idx: jnp.ndarray, lam: jnp.n
     base = idx[..., None] * n
     v0 = flat[base + i0]
     v1 = flat[base + jnp.minimum(i0 + 1, n - 1)]
-    return v0 * (1.0 - f) + v1 * f
+    # keep the gather in its own small fusion: XLA folding these lookups
+    # into large consumer fusions emits a ~10x slower gather loop
+    return jax.lax.optimization_barrier(v0 * (1.0 - f) + v1 * f)
 
 
 # --- Matte (Lambert / Oren-Nayar; spectral-eval.jl:29-120) --------------------
@@ -140,7 +145,7 @@ def sample_matte(
 ) -> BSDFSample:
     kd = _albedo_spec(banks, banks.matte_kd_c4, banks.matte_kd,
                       banks.matte_kd_tex, idx, tex, table, lam)
-    sigma = banks.matte_sigma[idx]
+    sigma = _bl(banks.matte_sigma, idx)
     wi = cosine_sample_hemisphere(u2)
     wi = jnp.where(wo[..., 2:3] < 0.0, wi * jnp.array([1.0, 1.0, -1.0]), wi)
     pdf = abs_cos_theta(wi) * INV_PI
@@ -158,7 +163,7 @@ def sample_matte(
 def eval_matte(banks, idx, table, wo, wi, lam, tex=None):
     kd = _albedo_spec(banks, banks.matte_kd_c4, banks.matte_kd,
                       banks.matte_kd_tex, idx, tex, table, lam)
-    sigma = banks.matte_sigma[idx]
+    sigma = _bl(banks.matte_sigma, idx)
     same = same_hemisphere(wo, wi)
     f = kd * INV_PI
     f = f * jnp.where(sigma > 0.0, _oren_nayar_factor(sigma, wo, wi), 1.0)[..., None]
@@ -190,8 +195,8 @@ def sample_mirror(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
 
 
 def _glass_alpha(banks, idx, regularize, tex):
-    ax = _tex_alpha(banks.glass_ax[idx], banks.glass_rough_tex, idx, tex)
-    ay = _tex_alpha(banks.glass_ay[idx], banks.glass_rough_tex, idx, tex)
+    ax = _tex_alpha(_bl(banks.glass_ax, idx), banks.glass_rough_tex, idx, tex)
+    ay = _tex_alpha(_bl(banks.glass_ay, idx), banks.glass_rough_tex, idx, tex)
     if regularize is not None:
         ax = jnp.where(regularize, regularize_alpha(ax), ax)
         ay = jnp.where(regularize, regularize_alpha(ay), ay)
@@ -202,7 +207,7 @@ def glass_eta_hero(banks, idx, lam):
     """Dispersive IOR at the hero wavelength: eta + B / lambda_um^2
     (Cauchy; spectral IOR eval, spectral-eval.jl:207-221)."""
     lam0_um2 = (lam[..., 0] * 1e-3) ** 2
-    return banks.glass_eta[idx] + banks.glass_cauchy[idx] / jnp.maximum(lam0_um2, 1e-6)
+    return _bl(banks.glass_eta, idx) + _bl(banks.glass_cauchy, idx) / jnp.maximum(lam0_um2, 1e-6)
 
 
 def sample_glass(banks, idx, table, wo, lam, u2, uc, tex=None, regularize=None) -> BSDFSample:
@@ -470,9 +475,9 @@ def dielectric_interface_f(wo, wi, eta, ax, ay):
 def sample_thin_dielectric(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
     from ..spectral.rgb2spec import coeff4_eval
 
-    kr = coeff4_eval(banks.thin_kr_c4[idx], lam)
-    kt = coeff4_eval(banks.thin_kt_c4[idx], lam)
-    eta = banks.thin_eta[idx]
+    kr = coeff4_eval(_bl(banks.thin_kr_c4, idx), lam)
+    kt = coeff4_eval(_bl(banks.thin_kt_c4, idx), lam)
+    eta = _bl(banks.thin_eta, idx)
     cos_o = wo[..., 2]
 
     r0 = fresnel_dielectric(jnp.abs(cos_o), eta)
@@ -547,8 +552,8 @@ def eval_diffuse_transmission(banks, idx, table, wo, wi, lam, tex=None):
 
 
 def _conductor_alpha(banks, idx, regularize, tex=None):
-    ax = _tex_alpha(banks.cond_ax[idx], banks.cond_rough_tex, idx, tex)
-    ay = _tex_alpha(banks.cond_ay[idx], banks.cond_rough_tex, idx, tex)
+    ax = _tex_alpha(_bl(banks.cond_ax, idx), banks.cond_rough_tex, idx, tex)
+    ay = _tex_alpha(_bl(banks.cond_ay, idx), banks.cond_rough_tex, idx, tex)
     if regularize is not None:
         ax = jnp.where(regularize, regularize_alpha(ax), ax)
         ay = jnp.where(regularize, regularize_alpha(ay), ay)
@@ -625,13 +630,13 @@ def emitted_radiance(banks, idx, table, lam, cos_wo, tex=None):
     from ..spectral.rgb2spec import coeff4_illuminant_eval
     from ..textures.atlas import CONST_TEX
 
-    le = coeff4_illuminant_eval(banks.emissive_le_c4[idx], lam)
+    le = coeff4_illuminant_eval(_bl(banks.emissive_le_c4, idx), lam)
     if tex is not None and banks.has_textures:
         atlas, ctx = tex
-        t_id = banks.emissive_le_tex[idx]
-        rgb_t = eval_rgb(atlas, t_id, banks.emissive_le[idx], ctx)
+        t_id = _bl(banks.emissive_le_tex, idx)
+        rgb_t = eval_rgb(atlas, t_id, _bl(banks.emissive_le, idx), ctx)
         le_t = rgb_illuminant_eval(table, jnp.maximum(rgb_t, 0.0), lam)
         le = jnp.where((t_id == CONST_TEX)[..., None], le, le_t)
-    le = le * (banks.emissive_scale[idx] / D65_PHOTOMETRIC)[..., None]
-    front = (cos_wo > 0.0) | banks.emissive_two_sided[idx]
+    le = le * (_bl(banks.emissive_scale, idx) / D65_PHOTOMETRIC)[..., None]
+    front = (cos_wo > 0.0) | _bl(banks.emissive_two_sided, idx)
     return jnp.where(front[..., None], le, 0.0)

@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.lookup import bank_lookup as _bl
+
 from ..core.vecmath import abs_cos_theta
 from ..sampling.distributions import cosine_sample_hemisphere
 from ..spectral.rgb2spec import coeff4_eval, rgb_albedo_eval
@@ -400,7 +402,7 @@ def layered_f(
 def sample_coated_diffuse(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
     refl = _albedo_spec(banks, banks.cd_refl_c4, banks.cd_refl,
                         banks.cd_refl_tex, idx, tex, table, lam)
-    alb = coeff4_eval(banks.cd_albedo_c4[idx], lam)
+    alb = coeff4_eval(_bl(banks.cd_albedo_c4, idx), lam)
 
     def bottom(w_down, ub2):
         wi, wgt = _bottom_diffuse_sample(refl, w_down, ub2)
@@ -408,8 +410,8 @@ def sample_coated_diffuse(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFS
 
     return layered_sample(
         wo, lam, u2, uc,
-        banks.cd_eta[idx], banks.cd_ax[idx], banks.cd_ay[idx],
-        banks.cd_thick[idx], alb, banks.cd_g[idx],
+        _bl(banks.cd_eta, idx), _bl(banks.cd_ax, idx), _bl(banks.cd_ay, idx),
+        _bl(banks.cd_thick, idx), alb, _bl(banks.cd_g, idx),
         bottom,
     )
 
@@ -417,7 +419,7 @@ def sample_coated_diffuse(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFS
 def eval_coated_diffuse(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
     refl = _albedo_spec(banks, banks.cd_refl_c4, banks.cd_refl,
                         banks.cd_refl_tex, idx, tex, table, lam)
-    alb = coeff4_eval(banks.cd_albedo_c4[idx], lam)
+    alb = coeff4_eval(_bl(banks.cd_albedo_c4, idx), lam)
 
     def bottom(w_down, ub2):
         wi_b, wgt = _bottom_diffuse_sample(refl, w_down, ub2)
@@ -428,8 +430,8 @@ def eval_coated_diffuse(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
 
     return layered_f(
         wo, wi, lam, u2, uc,
-        banks.cd_eta[idx], banks.cd_ax[idx], banks.cd_ay[idx],
-        banks.cd_thick[idx], alb, banks.cd_g[idx],
+        _bl(banks.cd_eta, idx), _bl(banks.cd_ax, idx), _bl(banks.cd_ay, idx),
+        _bl(banks.cd_thick, idx), alb, _bl(banks.cd_g, idx),
         bottom, bottom_f,
     )
 
@@ -437,17 +439,17 @@ def eval_coated_diffuse(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
 def sample_coated_conductor(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
     eta4 = _sample_dense_spectrum(banks.cc_cond_eta, idx, lam)
     k4 = _sample_dense_spectrum(banks.cc_cond_k, idx, lam)
-    alb = coeff4_eval(banks.cc_albedo_c4[idx], lam)
-    cax = banks.cc_cax[idx]
-    cay = banks.cc_cay[idx]
+    alb = coeff4_eval(_bl(banks.cc_albedo_c4, idx), lam)
+    cax = _bl(banks.cc_cax, idx)
+    cay = _bl(banks.cc_cay, idx)
 
     def bottom(w_down, ub2):
         return _bottom_conductor_sample(eta4, k4, cax, cay, w_down, ub2)
 
     return layered_sample(
         wo, lam, u2, uc,
-        banks.cc_eta[idx], banks.cc_iax[idx], banks.cc_iay[idx],
-        banks.cc_thick[idx], alb, banks.cc_g[idx],
+        _bl(banks.cc_eta, idx), _bl(banks.cc_iax, idx), _bl(banks.cc_iay, idx),
+        _bl(banks.cc_thick, idx), alb, _bl(banks.cc_g, idx),
         bottom,
     )
 
@@ -455,9 +457,9 @@ def sample_coated_conductor(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSD
 def eval_coated_conductor(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
     eta4 = _sample_dense_spectrum(banks.cc_cond_eta, idx, lam)
     k4 = _sample_dense_spectrum(banks.cc_cond_k, idx, lam)
-    alb = coeff4_eval(banks.cc_albedo_c4[idx], lam)
-    cax = banks.cc_cax[idx]
-    cay = banks.cc_cay[idx]
+    alb = coeff4_eval(_bl(banks.cc_albedo_c4, idx), lam)
+    cax = _bl(banks.cc_cax, idx)
+    cay = _bl(banks.cc_cay, idx)
 
     def bottom(w_down, ub2):
         return _bottom_conductor_sample(eta4, k4, cax, cay, w_down, ub2)
@@ -467,7 +469,7 @@ def eval_coated_conductor(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
 
     return layered_f(
         wo, wi, lam, u2, uc,
-        banks.cc_eta[idx], banks.cc_iax[idx], banks.cc_iay[idx],
-        banks.cc_thick[idx], alb, banks.cc_g[idx],
+        _bl(banks.cc_eta, idx), _bl(banks.cc_iax, idx), _bl(banks.cc_iay, idx),
+        _bl(banks.cc_thick, idx), alb, _bl(banks.cc_g, idx),
         bottom, bottom_f,
     )

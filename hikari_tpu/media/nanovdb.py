@@ -7,8 +7,8 @@ offsets). Where the reference keeps the raw buffer on device and walks the
 tree per sample (nanovdb.jl:315-418), the TPU build materializes the sparse
 tree into a dense density grid at load time and renders it as a GridMedium —
 the delta-tracking DDA majorant cells then skip the empty space that the
-sparse tree encoded. Constant root/internal *tiles* are treated as
-background (density grids built by build_nanovdb never produce them).
+sparse tree encoded. Active constant root/internal *tiles* are materialized
+as filled regions (clipped to the root index bbox).
 """
 
 from __future__ import annotations
@@ -85,8 +85,70 @@ def extract_metadata(buf: bytes) -> dict:
     )
 
 
+def _collect_constant_tiles(buf: bytes, md: dict):
+    """Walk root -> upper -> lower and collect active constant *tiles*
+    (regions with a value but no child; nanovdb.jl root/internal tile
+    branches at :341-375). Returns a list of (origin_ijk, size, value)."""
+    root_off = md["root_offset"]
+    table_size = _u32(buf, root_off + 24)
+    fills: list[tuple[tuple, int, float]] = []
+
+    def key_to_origin(key: int):
+        def se(v):  # 21 stored bits were (uint32 coord) >> 12
+            u = (v << 12) & 0xFFFFFFFF
+            return u - (1 << 32) if u >= (1 << 31) else u
+
+        return (se((key >> 42) & 0x1FFFFF), se((key >> 21) & 0x1FFFFF),
+                se(key & 0x1FFFFF))
+
+    for i in range(table_size):
+        toff = root_off + ROOT_HEADER + i * ROOT_TILE
+        key = _u64(buf, toff)
+        child = _i64(buf, toff + 8)
+        state = _u32(buf, toff + 16)
+        value = float(_f32(buf, toff + 20)[0])
+        origin = key_to_origin(key)
+        if child == 0:
+            if state:
+                fills.append((origin, 1 << UPPER_TOTAL, value))
+            continue
+        up = root_off + child
+        u_vmask = np.unpackbits(
+            np.frombuffer(buf, np.uint8, 4096, up + UPPER_VALUEMASK_OFF),
+            bitorder="little")
+        u_cmask = np.unpackbits(
+            np.frombuffer(buf, np.uint8, 4096, up + UPPER_CHILDMASK_OFF),
+            bitorder="little")
+        u_table = np.frombuffer(buf, np.uint8, 32768 * 8, up + UPPER_TABLE_OFF)
+        u_vals = u_table.view(np.float32)[::2]
+        u_childs = u_table.view(np.int64)
+        for n in np.nonzero(u_vmask | u_cmask)[0]:
+            lx, ly, lz = (n >> 10) & 31, (n >> 5) & 31, n & 31
+            o2 = (origin[0] + lx * 128, origin[1] + ly * 128, origin[2] + lz * 128)
+            if not u_cmask[n]:
+                fills.append((o2, 128, float(u_vals[n])))
+                continue
+            lo_off = up + int(u_childs[n])
+            l_vmask = np.unpackbits(
+                np.frombuffer(buf, np.uint8, 512, lo_off + LOWER_VALUEMASK_OFF),
+                bitorder="little")
+            l_cmask = np.unpackbits(
+                np.frombuffer(buf, np.uint8, 512, lo_off + LOWER_CHILDMASK_OFF),
+                bitorder="little")
+            l_vals = np.frombuffer(
+                buf, np.uint8, 4096 * 8, lo_off + LOWER_TABLE_OFF
+            ).view(np.float32)[::2]
+            for m in np.nonzero(l_vmask & ~l_cmask.astype(bool))[0]:
+                mx, my, mz = (m >> 8) & 15, (m >> 4) & 15, m & 15
+                o3 = (o2[0] + mx * 8, o2[1] + my * 8, o2[2] + mz * 8)
+                fills.append((o3, 8, float(l_vals[m])))
+    return fills
+
+
 def to_dense(buf: bytes, md: dict | None = None):
-    """Materialize all leaf nodes into a dense (nz, ny, nx) grid.
+    """Materialize the sparse tree into a dense (nz, ny, nx) grid: leaf
+    voxels plus active constant root/internal tiles (clipped to the root
+    index bbox, since a constant root tile nominally spans 4096^3).
 
     buf is the full file buffer (header parsed for metadata) or, when `md`
     is supplied, a bare node buffer from build_nanovdb. Returns
@@ -97,8 +159,6 @@ def to_dense(buf: bytes, md: dict | None = None):
     md.setdefault("background", 0.0)
     n_leaf = md["leaf_count"]
     lo = md["leaf_offset"]
-    if n_leaf == 0:
-        return np.zeros((1, 1, 1), np.float32), np.zeros(3, int), np.ones(3, int), md
 
     origins = np.zeros((n_leaf, 3), np.int64)
     blocks = np.zeros((n_leaf, 512), np.float32)
@@ -110,10 +170,42 @@ def to_dense(buf: bytes, md: dict | None = None):
         masks[i] = np.unpackbits(mask_bits, bitorder="little")
         blocks[i] = _f32(buf, off + LEAF_VALUES_OFF, 512)
 
-    imin = origins.min(0)
-    imax = origins.max(0) + LEAF_DIM
+    fills = _collect_constant_tiles(buf, md)
+    if n_leaf == 0 and not fills:
+        return np.zeros((1, 1, 1), np.float32), np.zeros(3, int), np.ones(3, int), md
+
+    # root index bbox (inclusive max) bounds the constant-tile expansion
+    bbox = np.frombuffer(buf, np.int32, 6, md["root_offset"])
+    bb_lo, bb_hi = bbox[:3].astype(np.int64), bbox[3:].astype(np.int64) + 1
+    has_bbox = np.all(bb_hi > bb_lo)
+
+    pieces = []
+    if n_leaf:
+        pieces.append((origins.min(0), origins.max(0) + LEAF_DIM))
+    for o3, size, _ in fills:
+        f_lo = np.asarray(o3, np.int64)
+        f_hi = f_lo + size
+        if has_bbox:
+            f_lo = np.maximum(f_lo, bb_lo)
+            f_hi = np.minimum(f_hi, bb_hi)
+        if np.all(f_hi > f_lo):
+            pieces.append((f_lo, f_hi))
+    imin = np.min([p[0] for p in pieces], axis=0)
+    imax = np.max([p[1] for p in pieces], axis=0)
+
     ext = imax - imin
     dense = np.full((ext[2], ext[1], ext[0]), md["background"], np.float32)
+    # coarse-to-fine: constant tiles first (largest first), leaves last
+    for o3, size, value in sorted(fills, key=lambda f: -f[1]):
+        f_lo = np.asarray(o3, np.int64)
+        f_hi = f_lo + size
+        if has_bbox:
+            f_lo = np.maximum(f_lo, bb_lo)
+            f_hi = np.minimum(f_hi, bb_hi)
+        a = np.maximum(f_lo - imin, 0)
+        b = np.minimum(f_hi - imin, ext)
+        if np.all(b > a):
+            dense[a[2]:b[2], a[1]:b[1], a[0]:b[0]] = value
     # leaf value order: offset = (x&7)<<6 | (y&7)<<3 | (z&7)  -> (x, y, z)
     vals = blocks.reshape(n_leaf, 8, 8, 8)           # [x][y][z]
     mk = masks.reshape(n_leaf, 8, 8, 8)

@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.lookup import bank_lookup as _bl
+
 from ..core.pytree import pytree_dataclass
 from ..core.vecmath import coordinate_system, normalize
 from ..sampling import u64
@@ -116,10 +118,10 @@ def hg_sample(g, wo, u2):
 
 def _grid_density(banks: MediumBanks, midx, p):
     """Trilinear density lookup in medium-local [0,1]^3 (media.jl:1544-1758)."""
-    lo = banks.bounds_lo[midx]
-    hi = banks.bounds_hi[midx]
-    res = banks.grid_res[midx]  # (..., 3) = (nx, ny, nz)
-    off = banks.grid_offset[midx]
+    lo = _bl(banks.bounds_lo, midx)
+    hi = _bl(banks.bounds_hi, midx)
+    res = _bl(banks.grid_res, midx)  # (..., 3) = (nx, ny, nz)
+    off = _bl(banks.grid_offset, midx)
     ext = jnp.maximum(hi - lo, 1e-12)
     q = (p - lo) / ext  # [0,1]^3
     inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
@@ -157,10 +159,10 @@ def _grid_density(banks: MediumBanks, midx, p):
 
 def _rgb_grid_trilinear(banks: MediumBanks, midx, p, buffer):
     """Trilinear lookup into a flat per-voxel RGB buffer (RGBGridMedium)."""
-    lo = banks.bounds_lo[midx]
-    hi = banks.bounds_hi[midx]
-    res = banks.grid_res[midx]
-    off = banks.rgb_offset[midx]
+    lo = _bl(banks.bounds_lo, midx)
+    hi = _bl(banks.bounds_hi, midx)
+    res = _bl(banks.grid_res, midx)
+    off = _bl(banks.rgb_offset, midx)
     ext = jnp.maximum(hi - lo, 1e-12)
     q = (p - lo) / ext
     inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
@@ -198,11 +200,11 @@ def medium_properties(banks: MediumBanks, table, midx, p, lam):
     """sigma_a, sigma_s, Le at wavelengths lam; HG g (sample_point analog).
 
     midx (...,), p (...,3), lam (...,4) -> spectra (...,4), g (...,)."""
-    sa = coeff4_eval(banks.sigma_a_c4[midx], lam)
-    ss = coeff4_eval(banks.sigma_s_c4[midx], lam)
-    le = coeff4_eval(banks.le_c4[midx], lam)
-    g = banks.g[midx]
-    mtype = banks.med_type[midx]
+    sa = coeff4_eval(_bl(banks.sigma_a_c4, midx), lam)
+    ss = coeff4_eval(_bl(banks.sigma_s_c4, midx), lam)
+    le = coeff4_eval(_bl(banks.le_c4, midx), lam)
+    g = _bl(banks.g, midx)
+    mtype = _bl(banks.med_type, midx)
     if banks.has_grid:
         dens = _grid_density(banks, midx, p)
         scale = jnp.where(mtype == GRID, dens, 1.0)
@@ -228,8 +230,8 @@ def medium_properties(banks: MediumBanks, table, midx, p, lam):
 def _deflect(banks: MediumBanks, mi, p, d, dt):
     """apply_deflection hook (media.jl:2039): gravitational bending toward
     defl_center with per-medium strength; identity when strength is 0."""
-    c = banks.defl_center[mi]
-    s = banks.defl_strength[mi]
+    c = _bl(banks.defl_center, mi)
+    s = _bl(banks.defl_strength, mi)
     r = c - p
     rn2 = jnp.sum(r * r, -1, keepdims=True)
     accel = r / jnp.maximum(rn2 * jnp.sqrt(rn2), 1e-9)
@@ -243,34 +245,34 @@ def _spectral_majorant_base(banks: MediumBanks, table, midx, lam):
     bounds sigma_t. GRID/HOMOGENEOUS: uplift(sa+ss); RGBGRID: the cell
     already stores an absolute max-component sigma_t, use a safety-padded
     constant (uplift of rgb can locally exceed max-component by a little)."""
-    sa = coeff4_eval(banks.sigma_a_c4[midx], lam)
-    ss = coeff4_eval(banks.sigma_s_c4[midx], lam)
+    sa = coeff4_eval(_bl(banks.sigma_a_c4, midx), lam)
+    ss = coeff4_eval(_bl(banks.sigma_s_c4, midx), lam)
     base = sa + ss
-    is_rgb = banks.med_type[midx] == RGBGRID
+    is_rgb = _bl(banks.med_type, midx) == RGBGRID
     return jnp.where(is_rgb[..., None], 1.15, base)
 
 
 def majorant_cell(banks: MediumBanks, midx, p):
     """Per-cell scalar majorant at position p (MajorantGrid lookup)."""
-    lo = banks.bounds_lo[midx]
-    hi = banks.bounds_hi[midx]
+    lo = _bl(banks.bounds_lo, midx)
+    hi = _bl(banks.bounds_hi, midx)
     ext = jnp.maximum(hi - lo, 1e-12)
-    is_spatial = banks.med_type[midx] != HOMOGENEOUS
+    is_spatial = _bl(banks.med_type, midx) != HOMOGENEOUS
     q = jnp.clip((p - lo) / ext, 0.0, 1.0 - 1e-6)
     c = (q * MAJORANT_RES).astype(jnp.int32)
     cell = banks.maj[midx, c[..., 2], c[..., 1], c[..., 0]]
     # homogeneous media use max_density as a (possibly inflated) majorant
     # scale so null-scattering events exist when deflection needs them
-    return jnp.where(is_spatial, cell, banks.max_density[midx])
+    return jnp.where(is_spatial, cell, _bl(banks.max_density, midx))
 
 
 def majorant_cell_exit(banks: MediumBanks, midx, o, d, t, t1):
     """Parameter where the ray leaves the current majorant cell (stateless
     DDA step: recomputed from the position each iteration)."""
-    lo = banks.bounds_lo[midx]
-    hi = banks.bounds_hi[midx]
+    lo = _bl(banks.bounds_lo, midx)
+    hi = _bl(banks.bounds_hi, midx)
     ext = jnp.maximum(hi - lo, 1e-12)
-    is_spatial = banks.med_type[midx] != HOMOGENEOUS
+    is_spatial = _bl(banks.med_type, midx) != HOMOGENEOUS
     p = o + t[..., None] * d
     q = jnp.clip((p - lo) / ext, 0.0, 1.0 - 1e-6)
     c = jnp.floor(q * MAJORANT_RES)
@@ -287,20 +289,20 @@ def majorant_cell_exit(banks: MediumBanks, midx, o, d, t, t1):
 
 def majorant(banks: MediumBanks, table, midx, lam):
     """Global spectral majorant (used by the shadow ratio tracker)."""
-    sa = coeff4_eval(banks.sigma_a_c4[midx], lam)
-    ss = coeff4_eval(banks.sigma_s_c4[midx], lam)
+    sa = coeff4_eval(_bl(banks.sigma_a_c4, midx), lam)
+    ss = coeff4_eval(_bl(banks.sigma_s_c4, midx), lam)
     base = sa + ss
-    is_rgb = banks.med_type[midx] == RGBGRID
+    is_rgb = _bl(banks.med_type, midx) == RGBGRID
     base = jnp.where(is_rgb[..., None], 1.15, base)
-    return base * banks.max_density[midx][..., None]
+    return base * _bl(banks.max_density, midx)[..., None]
 
 
 def medium_segment(banks: MediumBanks, midx, o, d, t_max):
     """Ray-medium overlap [t0, t1]: full ray for homogeneous, AABB slab for
     grids. Returns (t0, t1) clipped to [0, t_max]."""
-    is_grid = banks.med_type[midx] == GRID
-    lo = banks.bounds_lo[midx]
-    hi = banks.bounds_hi[midx]
+    is_grid = _bl(banks.med_type, midx) == GRID
+    lo = _bl(banks.bounds_lo, midx)
+    hi = _bl(banks.bounds_hi, midx)
     inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
     ta = (lo - o) * inv_d
     tb = (hi - o) * inv_d
@@ -344,7 +346,7 @@ def delta_track(
     n = o.shape[0]
     mi = jnp.maximum(midx, 0)
     sig_base = _spectral_majorant_base(banks, table, mi, lam)   # (N,4)
-    glob_max = banks.max_density[mi]
+    glob_max = _bl(banks.max_density, mi)
     t0, t1 = medium_segment(banks, mi, o, d, t_max)
 
     rng = lcg_init(o, d, t_max)
@@ -524,7 +526,7 @@ def ratio_track_tr(
     n = o.shape[0]
     mi = jnp.maximum(midx, 0)
     sig_base = _spectral_majorant_base(banks, table, mi, lam)
-    glob_max = banks.max_density[mi]
+    glob_max = _bl(banks.max_density, mi)
     t0, t1 = medium_segment(banks, mi, o, d, t_max)
 
     rng = lcg_init(o, d, t_max * 0.731 + 1.0)  # decorrelate from camera paths

@@ -95,6 +95,9 @@ def render_step_sharded(
         mesh=mesh,
         in_specs=(P("sp"), P("sp"), P()),
         out_specs=(P("sp"), P("sp")),
+        # pallas_call out_shapes carry no vma metadata; without this the
+        # packets traversal engine cannot run inside shard_map
+        check_vma=False,
     )
     rgb_sum, weight_sum = shard(film.rgb_sum, film.weight_sum, sample_base)
     return film.replace(

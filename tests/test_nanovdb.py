@@ -67,3 +67,37 @@ def test_nanovdb_medium_render(tmp_path):
     img = np.asarray(framebuffer(render(VolPath(max_depth=4, samples_per_pixel=4), scene, cam)))
     assert np.isfinite(img).all()
     assert img.max() > 0.01
+
+
+def test_constant_lower_tile_materializes():
+    """Third-party NanoVDB files may contain active constant tiles (value,
+    no child); to_dense must fill them (nanovdb.jl tile branches :341-375)."""
+    import numpy as np
+
+    from hikari_tpu.media.nanovdb import (
+        LOWER_TABLE_OFF, LOWER_VALUEMASK_OFF, build_nanovdb, extract_metadata,
+        to_dense,
+    )
+
+    dense = np.random.RandomState(0).rand(16, 16, 16).astype(np.float32)
+    buf, md = build_nanovdb(dense)
+    buf = bytearray(buf)
+
+    root_off = md["root_offset"]
+    lower_off = md["lower_offset"]
+    # mark leaf-region (24, 0, 0) as an active constant tile of value 5:
+    # lower offset = (x>>3 & 15) << 8 = 768
+    m = (24 >> 3) << 8
+    buf[lower_off + LOWER_VALUEMASK_OFF + m // 8] |= 1 << (m % 8)
+    tbl = lower_off + LOWER_TABLE_OFF + m * 8
+    buf[tbl:tbl + 4] = np.float32(5.0).tobytes()
+    # widen the root index bbox to cover x in [0, 32)
+    buf[root_off:root_off + 24] = np.asarray(
+        [0, 0, 0, 31, 15, 15], np.int32).tobytes()
+
+    out, imin, imax, _ = to_dense(bytes(buf), dict(md))
+    assert imax[0] - imin[0] == 32, (imin, imax)
+    # original leaf data intact
+    np.testing.assert_allclose(out[:16, :16, :16], dense, atol=1e-6)
+    # the constant tile region reads 5.0
+    assert np.allclose(out[0:8, 0:8, 24 - imin[0]:32 - imin[0]], 5.0)
