@@ -560,11 +560,21 @@ def _conductor_alpha(banks, idx, regularize, tex=None):
     return ax, ay
 
 
+def _cond_eta_k(banks, idx, lam):
+    """Spectral eta/k via the piecewise-cubic bank fits (<0.2%% of the dense
+    tables; the per-lane table gather costs ~20 ms per 640k-lane call on the
+    TPU scalar core)."""
+    from ..spectral.piecewise_poly import piecewise_eval_banked
+
+    eta = piecewise_eval_banked(banks.cond_eta_pw, idx[..., None], lam)
+    k = piecewise_eval_banked(banks.cond_k_pw, idx[..., None], lam)
+    return eta, k
+
+
 def sample_conductor(
     banks, idx, table, wo, lam, u2, uc, regularize=None, tex=None
 ) -> BSDFSample:
-    eta = _sample_dense_spectrum(banks.cond_eta, idx, lam)
-    k = _sample_dense_spectrum(banks.cond_k, idx, lam)
+    eta, k = _cond_eta_k(banks, idx, lam)
     ax, ay = _conductor_alpha(banks, idx, regularize, tex)
     smooth = effectively_smooth(ax, ay)
 
@@ -598,8 +608,7 @@ def sample_conductor(
 
 
 def eval_conductor(banks, idx, table, wo, wi, lam, regularize=None, tex=None):
-    eta = _sample_dense_spectrum(banks.cond_eta, idx, lam)
-    k = _sample_dense_spectrum(banks.cond_k, idx, lam)
+    eta, k = _cond_eta_k(banks, idx, lam)
     ax, ay = _conductor_alpha(banks, idx, regularize, tex)
     smooth = effectively_smooth(ax, ay)
     same = same_hemisphere(wo, wi)

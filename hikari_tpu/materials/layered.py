@@ -437,8 +437,9 @@ def eval_coated_diffuse(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
 
 
 def sample_coated_conductor(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFSample:
-    eta4 = _sample_dense_spectrum(banks.cc_cond_eta, idx, lam)
-    k4 = _sample_dense_spectrum(banks.cc_cond_k, idx, lam)
+    from ..spectral.piecewise_poly import piecewise_eval_banked
+    eta4 = piecewise_eval_banked(banks.cc_cond_eta_pw, idx[..., None], lam)
+    k4 = piecewise_eval_banked(banks.cc_cond_k_pw, idx[..., None], lam)
     alb = coeff4_eval(_bl(banks.cc_albedo_c4, idx), lam)
     cax = _bl(banks.cc_cax, idx)
     cay = _bl(banks.cc_cay, idx)
@@ -455,8 +456,9 @@ def sample_coated_conductor(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSD
 
 
 def eval_coated_conductor(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
-    eta4 = _sample_dense_spectrum(banks.cc_cond_eta, idx, lam)
-    k4 = _sample_dense_spectrum(banks.cc_cond_k, idx, lam)
+    from ..spectral.piecewise_poly import piecewise_eval_banked
+    eta4 = piecewise_eval_banked(banks.cc_cond_eta_pw, idx[..., None], lam)
+    k4 = piecewise_eval_banked(banks.cc_cond_k_pw, idx[..., None], lam)
     alb = coeff4_eval(_bl(banks.cc_albedo_c4, idx), lam)
     cax = _bl(banks.cc_cax, idx)
     cay = _bl(banks.cc_cay, idx)

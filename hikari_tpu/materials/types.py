@@ -75,6 +75,25 @@ def BK7(**kw):
     return Glass(eta=1.5046, cauchy_b=0.00420, **kw)
 
 
+def SF11(**kw):
+    """Dense flint glass (strong dispersion; Cauchy fit of the Sellmeier
+    data at d/F/C lines)."""
+    return Glass(eta=1.7437, cauchy_b=0.01323, **kw)
+
+
+def Sapphire(**kw):
+    return Glass(eta=1.7523, cauchy_b=0.00544, **kw)
+
+
+def FusedSilica(**kw):
+    return Glass(eta=1.4504, cauchy_b=0.00342, **kw)
+
+
+def Diamond(**kw):
+    """Diamond (n_d 2.4175; Cauchy fit gives the classic 'fire')."""
+    return Glass(eta=2.3818, cauchy_b=0.01211, **kw)
+
+
 @dataclass
 class Conductor:
     """Microfacet conductor (uber-material.jl:378). Either a measured metal
@@ -221,6 +240,8 @@ class MaterialBanks:
     glass_ay: jnp.ndarray       # (Ng,)
     cond_eta: jnp.ndarray       # (Nc, 471) dense spectral eta
     cond_k: jnp.ndarray         # (Nc, 471)
+    cond_eta_pw: jnp.ndarray    # (Nc, 16, 4) piecewise-cubic fit (gather-free eval)
+    cond_k_pw: jnp.ndarray      # (Nc, 16, 4)
     cond_ax: jnp.ndarray        # (Nc,)
     cond_ay: jnp.ndarray        # (Nc,)
     emissive_le: jnp.ndarray    # (Ne, 3)
@@ -280,6 +301,8 @@ class MaterialBanks:
     cc_eta: jnp.ndarray          # (Ncc,) interface IOR
     cc_cond_eta: jnp.ndarray     # (Ncc, 471)
     cc_cond_k: jnp.ndarray       # (Ncc, 471)
+    cc_cond_eta_pw: jnp.ndarray  # (Ncc, 16, 4)
+    cc_cond_k_pw: jnp.ndarray    # (Ncc, 16, 4)
     cc_cax: jnp.ndarray          # (Ncc,) conductor alpha
     cc_cay: jnp.ndarray
     cc_thick: jnp.ndarray
@@ -505,6 +528,15 @@ def pack_materials(
     def a_c4(rows, default):
         return albedo_coeff4(table, jnp.clip(pad3(rows, default), 0.0, 1.0))
 
+
+    from ..spectral.piecewise_poly import fit_piecewise_poly
+
+    def pw_rows(rows, fallback):
+        arr = np.stack(rows) if rows else fallback
+        return jnp.asarray(
+            np.stack([fit_piecewise_poly(r, 16) for r in arr]), jnp.float32
+        )
+
     banks = MaterialBanks(
         matte_kd=pad3(matte_kd, (0.5, 0.5, 0.5)),
         matte_sigma=pad1(matte_sigma),
@@ -523,6 +555,8 @@ def pack_materials(
             np.stack(cond_k) if cond_k else np.ones((1, len(_LAM_GRID))),
             jnp.float32,
         ),
+        cond_eta_pw=pw_rows(cond_eta, np.zeros((1, len(_LAM_GRID)))),
+        cond_k_pw=pw_rows(cond_k, np.ones((1, len(_LAM_GRID)))),
         cond_ax=pad1(cond_ax),
         cond_ay=pad1(cond_ay),
         emissive_le=pad3(emis_le, (1.0, 1.0, 1.0)),
@@ -579,6 +613,8 @@ def pack_materials(
             np.stack(cc["ck"]) if cc["ck"] else np.ones((1, len(_LAM_GRID))),
             jnp.float32,
         ),
+        cc_cond_eta_pw=pw_rows(cc["ceta"], np.zeros((1, len(_LAM_GRID)))),
+        cc_cond_k_pw=pw_rows(cc["ck"], np.ones((1, len(_LAM_GRID)))),
         cc_cax=pad1(cc["cax"]),
         cc_cay=pad1(cc["cay"]),
         cc_thick=pad1(cc["thick"], 0.01),

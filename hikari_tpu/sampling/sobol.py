@@ -31,19 +31,37 @@ SOBOL_MATRIX_SIZE = 52
 ONE_MINUS_EPSILON = np.float32(1.0 - 2**-24)
 FLOAT32_SCALE = jnp.float32(2.3283064365386963e-10)  # 2^-32
 
-# 24 permutations of base-4 digits (sobol.jl:157-186), flattened to a (24, 4)
-# table for vectorized gather
-_PERMUTATIONS_4WAY = jnp.array(
-    [
-        [0, 1, 2, 3], [0, 1, 3, 2], [0, 2, 1, 3], [0, 2, 3, 1],
-        [0, 3, 2, 1], [0, 3, 1, 2], [1, 0, 2, 3], [1, 0, 3, 2],
-        [1, 2, 0, 3], [1, 2, 3, 0], [1, 3, 2, 0], [1, 3, 0, 2],
-        [2, 1, 0, 3], [2, 1, 3, 0], [2, 0, 1, 3], [2, 0, 3, 1],
-        [2, 3, 0, 1], [2, 3, 1, 0], [3, 1, 2, 0], [3, 1, 0, 2],
-        [3, 2, 1, 0], [3, 2, 0, 1], [3, 0, 2, 1], [3, 0, 1, 2],
-    ],
-    dtype=jnp.uint32,
+# 24 permutations of base-4 digits (sobol.jl:157-186). Each row packs its
+# four 2-bit entries into one byte, four rows per uint32 word: the lookup
+# permuted = TABLE[p, digit] becomes pure shift arithmetic (a per-lane
+# gather here would run 56x per bounce on the TPU's ~1 Gelem/s scalar
+# core)
+_PERMUTATIONS_LIST = [
+    [0, 1, 2, 3], [0, 1, 3, 2], [0, 2, 1, 3], [0, 2, 3, 1],
+    [0, 3, 2, 1], [0, 3, 1, 2], [1, 0, 2, 3], [1, 0, 3, 2],
+    [1, 2, 0, 3], [1, 2, 3, 0], [1, 3, 2, 0], [1, 3, 0, 2],
+    [2, 1, 0, 3], [2, 1, 3, 0], [2, 0, 1, 3], [2, 0, 3, 1],
+    [2, 3, 0, 1], [2, 3, 1, 0], [3, 1, 2, 0], [3, 1, 0, 2],
+    [3, 2, 1, 0], [3, 2, 0, 1], [3, 0, 2, 1], [3, 0, 1, 2],
+]
+_PERM_WORDS = tuple(
+    sum(
+        (_PERMUTATIONS_LIST[w * 4 + r][d] << (r * 8 + d * 2))
+        for r in range(4)
+        for d in range(4)
+    )
+    for w in range(6)
 )
+
+
+def _perm_lookup(p, digit):
+    """PERMUTATIONS[p, digit] for p (lanes,) in [0,24), digit in [0,4) —
+    select one of six packed words, then shift out the 2-bit entry."""
+    w = jnp.full_like(p, _PERM_WORDS[0])
+    for j in range(1, 6):
+        w = jnp.where((p >> 2) == j, jnp.uint32(_PERM_WORDS[j]), w)
+    shift = (p & 3) * 8 + digit * 2
+    return (w >> shift) & jnp.uint32(3)
 
 
 @functools.cache
@@ -125,7 +143,7 @@ def zsobol_get_sample_index(morton_index, dimension, log2_spp: int, n_base4_digi
         higher = u64.shr(morton_index, digit_shift + 2)
         hash_val = mix_bits(u64.xor(higher, dim_mix))
         p = u64.mod_small(u64.shr(hash_val, 24), 24)  # (lanes,) uint32 in [0,24)
-        permuted = _PERMUTATIONS_4WAY[p, digit]
+        permuted = _perm_lookup(p, digit)
         sample_index = u64.or_(sample_index, u64.shl(u64.from_u32(permuted), digit_shift))
 
     if pow2:

@@ -10,6 +10,8 @@ from __future__ import annotations
 import functools
 from pathlib import Path
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,18 +57,40 @@ def _sample_table(table, lam: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((lam >= CIE_LAMBDA_MIN) & (lam <= CIE_LAMBDA_MAX), out, 0.0)
 
 
-def sample_cie_xyz(lam: jnp.ndarray) -> jnp.ndarray:
-    """xbar/ybar/zbar at wavelengths lam (...,4) -> (...,4,3)."""
-    t = cie_tables()
-    return jnp.stack(
-        [_sample_table(t[0], lam), _sample_table(t[1], lam), _sample_table(t[2], lam)],
-        axis=-1,
+@lru_cache(maxsize=1)
+def _cie_fits():
+    """Piecewise-cubic fits of xbar/ybar/zbar (32 segments, <0.35% error)
+    and D65 (64 segments) — per-lane table gathers run on the TPU scalar
+    core at ~1 Gelem/s, so the hot loop evaluates these fits instead.
+    Cached as numpy (host constants) so no tracer ever leaks into the
+    cache."""
+    from .piecewise_poly import fit_piecewise_poly
+
+    t = np.asarray(cie_tables())
+    return (
+        np.stack([fit_piecewise_poly(t[i], 32) for i in range(3)]),
+        fit_piecewise_poly(np.asarray(d65_table()), 64),
     )
 
 
+def sample_cie_xyz(lam: jnp.ndarray) -> jnp.ndarray:
+    """xbar/ybar/zbar at wavelengths lam (...,4) -> (...,4,3)."""
+    from .piecewise_poly import piecewise_eval
+
+    xyz, _ = _cie_fits()
+    ok = (lam >= CIE_LAMBDA_MIN) & (lam <= CIE_LAMBDA_MAX)
+    out = jnp.stack([piecewise_eval(xyz[i], lam) for i in range(3)], axis=-1)
+    return jnp.where(ok[..., None], out, 0.0)
+
+
 def sample_d65(lam: jnp.ndarray) -> jnp.ndarray:
-    """Raw D65 values (~100 at 560nm), matching uplift.jl:463-473."""
-    return _sample_table(d65_table(), lam)
+    """D65 values (~100 at 560nm), matching uplift.jl:463-473; piecewise
+    fit of the 1nm table (the envelope is exact, the 1nm spikes smooth)."""
+    from .piecewise_poly import piecewise_eval
+
+    _, d65 = _cie_fits()
+    ok = (lam >= CIE_LAMBDA_MIN) & (lam <= CIE_LAMBDA_MAX)
+    return jnp.where(ok, piecewise_eval(d65, lam), 0.0)
 
 
 def spectral_to_xyz(L: jnp.ndarray, lam: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
