@@ -34,9 +34,10 @@ from .scene.mesh import (
 
 # materials (reference aliases included: Diffuse/Dielectric/Metal/Plastic)
 from .materials.types import (
-    BK7, Aluminum, Brass, CoatedConductor, CoatedDiffuse, Conductor, Copper,
-    Dielectric, Diffuse, DiffuseTransmission, Emissive, Glass, Gold,
-    Interface, Matte, Metal, Mirror, Mix, Plastic, Silver, ThinDielectric,
+    BK7, SF11, Aluminum, Brass, CoatedConductor, CoatedDiffuse, Conductor,
+    Copper, Diamond, Dielectric, Diffuse, DiffuseTransmission, Emissive,
+    FusedSilica, Glass, Gold, Interface, Matte, Metal, Mirror, Mix, Plastic,
+    Sapphire, Silver, ThinDielectric,
 )
 from .textures.atlas import ImageTexture, VertexColorTexture
 

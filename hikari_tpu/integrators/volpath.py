@@ -256,32 +256,41 @@ def _uv_screen_derivatives(camera, p, p0, p1, p2, uv0, uv1, uv2):
 
 
 def _surface_data(scene: SceneData, rec, o, d, camera=None):
-    """Gather hit-point attributes. Returns dict of per-lane arrays."""
+    """Gather hit-point attributes. Returns dict of per-lane arrays.
+
+    Per-triangle gathers run on the TPU scalar core (~1 Gelem/s), so the
+    fetch set is minimized: the face normal is precomputed per face, the
+    material (type, idx) and medium pair are packed into single words, and
+    uv / vertex-color / vertex-position fetches only exist in scenes that
+    bind textures (static property)."""
     from ..textures.atlas import TexCtx
 
     tri = jnp.maximum(rec.tri, 0)
-    p0 = scene.bvh.p0[tri]
-    p1 = scene.bvh.p1[tri]
-    p2 = scene.bvh.p2[tri]
     p_hit = o + rec.t[..., None] * d
-    ng_raw = triangle_normal(p0, p1, p2)  # winding normal: points "outside"
+    ng_raw = scene.ng_raw[tri]            # winding normal: points "outside"
     ns = normalize(
         interpolate(rec.b1, rec.b2, scene.n0[tri], scene.n1[tri], scene.n2[tri])
     )
     ns = jnp.where(jnp.sum(ns * ns, -1, keepdims=True) > 0.5, ns, ng_raw)
     ng = face_forward(ng_raw, ns)
-    uv = interpolate(rec.b1, rec.b2, scene.uv0[tri], scene.uv1[tri], scene.uv2[tri])
-    vcol = interpolate(rec.b1, rec.b2, scene.c0[tri], scene.c1[tri], scene.c2[tri])
 
     duvdx = duvdy = None
-    if camera is not None and scene.materials.has_textures:
-        duvdx, duvdy = _uv_screen_derivatives(
-            camera, p_hit, p0, p1, p2,
-            scene.uv0[tri], scene.uv1[tri], scene.uv2[tri],
-        )
+    if scene.materials.has_textures:
+        uv = interpolate(rec.b1, rec.b2, scene.uv0[tri], scene.uv1[tri], scene.uv2[tri])
+        vcol = interpolate(rec.b1, rec.b2, scene.c0[tri], scene.c1[tri], scene.c2[tri])
+        if camera is not None:
+            duvdx, duvdy = _uv_screen_derivatives(
+                camera, p_hit, scene.bvh.p0[tri], scene.bvh.p1[tri],
+                scene.bvh.p2[tri],
+                scene.uv0[tri], scene.uv1[tri], scene.uv2[tri],
+            )
+    else:
+        uv = jnp.zeros(tri.shape + (2,), jnp.float32)
+        vcol = jnp.ones(tri.shape + (3,), jnp.float32)
 
-    mat_type = scene.mat_type[tri]
-    mat_idx = scene.mat_idx[tri]
+    packed = scene.mat_packed[tri]
+    mat_type = packed >> 24
+    mat_idx = packed & 0xFFFFFF
     if mt.MIX in scene.present_materials:
         # resolve Mix to a concrete child with a deterministic hash of the
         # hit point (mix-material.jl:39-57): stable across samples so the
@@ -312,11 +321,22 @@ def _surface_data(scene: SceneData, rec, o, d, camera=None):
         mat_type = jnp.where(is_mix, child_t, mat_type)
         mat_idx = jnp.where(is_mix, child_i, mat_idx)
 
+    if mt.EMISSIVE in scene.present_materials:
+        arealight = scene.arealight_idx[tri]
+    else:
+        arealight = jnp.full_like(tri, -1)
+    if scene.has_media or mt.INTERFACE in scene.present_materials:
+        medp = scene.med_packed[tri]
+        inside_med = (medp >> 16) - 1
+        outside_med = (medp & 0xFFFF) - 1
+    else:
+        inside_med = jnp.full_like(tri, -1)
+        outside_med = jnp.full_like(tri, -1)
     return dict(
         tri=tri, p=p_hit, ng=ng, ng_raw=ng_raw, ns=ns,
         mat_type=mat_type, mat_idx=mat_idx,
-        arealight=scene.arealight_idx[tri],
-        inside_med=scene.inside_medium[tri], outside_med=scene.outside_medium[tri],
+        arealight=arealight,
+        inside_med=inside_med, outside_med=outside_med,
         tex=(scene.atlas, TexCtx(uv=uv, vcolor=vcol, duvdx=duvdx, duvdy=duvdy)),
     )
 
@@ -428,7 +448,7 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
 
         hit_something = running & rec.hit
         tri = jnp.maximum(rec.tri, 0)
-        is_interface = scene.mat_type[tri] == mt.INTERFACE
+        is_interface = (scene.mat_packed[tri] >> 24) == mt.INTERFACE
         passthrough = is_interface
         if scene.has_alpha:
             # alpha-failed occluders are transparent to shadow rays too
@@ -439,11 +459,10 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
         crossing = hit_something & passthrough
         # advance through the interface
         p_hit = o_cur + rec.t[..., None] * wi
-        ng_raw = triangle_normal(scene.bvh.p0[tri], scene.bvh.p1[tri], scene.bvh.p2[tri])
+        ng_raw = scene.ng_raw[tri]
         entering_inside = jnp.sum(wi * ng_raw, -1) < 0.0
-        new_med = jnp.where(
-            entering_inside, scene.inside_medium[tri], scene.outside_medium[tri]
-        )
+        medp = scene.med_packed[tri]
+        new_med = jnp.where(entering_inside, (medp >> 16) - 1, (medp & 0xFFFF) - 1)
         med = jnp.where(crossing, new_med, med)
         o_cur = jnp.where(crossing[..., None], p_hit + 1e-4 * wi, o_cur)
         t_rem = jnp.where(crossing, t_rem - rec.t - 1e-4, t_rem)

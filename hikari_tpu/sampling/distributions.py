@@ -9,6 +9,7 @@ filters). All batched.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.pytree import pytree_dataclass
 
@@ -170,13 +171,22 @@ def sample_distribution_2d(dist: Distribution2D, u: jnp.ndarray):
     dy = jnp.where(c1 > c0, (u[..., 1] - c0) / jnp.where(c1 == c0, 1.0, c1 - c0), 0.0)
     y = (yi.astype(jnp.float32) + dy) / h
 
-    # conditional along x
-    row_cdf = dist.cond_cdf[yi]  # (..., W+1)
-    xi = jnp.clip(
-        jnp.sum((row_cdf <= u[..., 0:1]).astype(jnp.int32), axis=-1) - 1, 0, w - 1
-    )
-    d0 = jnp.take_along_axis(row_cdf, xi[..., None], -1)[..., 0]
-    d1 = jnp.take_along_axis(row_cdf, xi[..., None] + 1, -1)[..., 0]
+    # conditional along x: bisect the row CDF with per-step point gathers —
+    # materializing whole (lanes, W+1) rows costs W/log2(W) more scalar-core
+    # gather traffic than the log2(W) probes actually needed
+    flat_cdf = dist.cond_cdf.reshape(-1)
+    base = yi * (w + 1)
+    lo = jnp.zeros_like(yi)
+    hi = jnp.full_like(yi, w)
+    for _ in range(max(1, int(np.ceil(np.log2(max(w, 2)))))):
+        mid = (lo + hi) >> 1
+        v = flat_cdf[base + mid]
+        go_hi = v <= u[..., 0]
+        lo = jnp.where(go_hi, mid, lo)
+        hi = jnp.where(go_hi, hi, mid)
+    xi = jnp.clip(lo, 0, w - 1)
+    d0 = flat_cdf[base + xi]
+    d1 = flat_cdf[base + xi + 1]
     dx = jnp.where(d1 > d0, (u[..., 0] - d0) / jnp.where(d1 == d0, 1.0, d1 - d0), 0.0)
     x = (xi.astype(jnp.float32) + dx) / w
 

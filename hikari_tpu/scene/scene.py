@@ -26,6 +26,12 @@ from ..textures.atlas import AtlasBuilder, TextureAtlas
 from .mesh import TriangleMesh, compute_vertex_normals
 
 
+def _face_normals(p0, p1, p2):
+    n = np.cross(p1 - p0, p2 - p0)
+    ln = np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    return (n / ln).astype(np.float32)
+
+
 @pytree_dataclass(
     static=(
         "present_materials", "n_lights", "n_faces", "has_media", "has_alpha",
@@ -48,6 +54,9 @@ class SceneData:
     c2: jnp.ndarray
     mat_type: jnp.ndarray       # (F,) int32 material type tag
     mat_idx: jnp.ndarray        # (F,) int32 index into that type's bank
+    mat_packed: jnp.ndarray     # (F,) int32 (type << 24 | idx): one gather
+    med_packed: jnp.ndarray     # (F,) int32 ((inside+1) << 16 | (outside+1))
+    ng_raw: jnp.ndarray         # (F, 3) unit winding face normal
     arealight_idx: jnp.ndarray  # (F,) int32 area light id; -1 if none
     inside_medium: jnp.ndarray  # (F,) int32 medium id behind the face; -1 vacuum
     outside_medium: jnp.ndarray  # (F,) int32 medium id in front; -1 vacuum
@@ -319,6 +328,15 @@ class Scene:
             c2=jnp.asarray(c2[order]),
             mat_type=jnp.asarray(face_type[order]),
             mat_idx=jnp.asarray(face_idx[order]),
+            mat_packed=jnp.asarray(
+                (face_type[order].astype(np.int32) << 24)
+                | face_idx[order].astype(np.int32)
+            ),
+            med_packed=jnp.asarray(
+                ((inside_of_face[order].astype(np.int32) + 1) << 16)
+                | (outside_of_face[order].astype(np.int32) + 1)
+            ),
+            ng_raw=jnp.asarray(_face_normals(p0[order], p1[order], p2[order])),
             arealight_idx=jnp.asarray(arealight_idx[order]),
             inside_medium=jnp.asarray(inside_of_face[order]),
             outside_medium=jnp.asarray(outside_of_face[order]),
