@@ -15,7 +15,7 @@ with dense tile/matmul compute, the shape the MXU/VPU are built for:
    one dense XLA pass — sign-uniform tiles make interval arithmetic exact;
 4. the surviving pairs are compacted into a tile-major pair list (packed
    int32 scalar-prefetch array; the Mosaic grid is the *dynamic* pair
-   count) with treelets visited front-to-back per direction octant;
+   count) with treelets visited in exact per-tile front-to-back order;
 5. a Pallas kernel sweeps the pair list: each grid step intersects a
    1024-ray tile with a TREELET-triangle treelet as two MXU matmuls plus
    a short VPU epilogue, early-outing once no remaining treelet can beat
@@ -72,7 +72,6 @@ class Treelets:
     lo: jnp.ndarray   # (T, 3) treelet AABB min
     hi: jnp.ndarray   # (T, 3)
     bw: jnp.ndarray   # (T, 24, 3*TT) bf16 split affine coefficients
-    oct_order: jnp.ndarray  # (8, T) treelet visit order per direction octant
 
 
 def _split3_cols(m: np.ndarray) -> np.ndarray:
@@ -101,10 +100,9 @@ def build_treelets(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> Treelets:
     triangles (the leaf order is spatially coherent so treelet AABBs are
     tight) and precompute the Baldwin-Weber affine coefficients in f64.
 
-    oct_order gives, for each of the 8 ray-direction octants, the treelets
-    sorted front-to-back along the octant's dominant diagonal — the static
-    approximation of per-tile distance ordering that lets the sweep kernels
-    early-out once every lane's best hit precedes the remaining treelets."""
+    Pair lists are ordered per tile by the cull pass's exact conservative
+    entry distances, so the sweep kernels early-out as soon as every lane's
+    best hit precedes the remaining treelets."""
     p = len(p0)
     t = max(1, -(-p // TREELET))
     pad = t * TREELET - p
@@ -147,20 +145,9 @@ def build_treelets(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> Treelets:
     bw = jnp.stack([_split3_cols(m4[i]) for i in range(t)]) if t <= 1 else \
         jax.vmap(_split3_cols)(jnp.asarray(m4))
 
-    # front-to-back treelet order per octant: ascending centroid coordinate
-    # along the octant's diagonal direction
-    centroid = 0.5 * (lo + hi)
-    orders = np.empty((8, t), np.int32)
-    for o in range(8):
-        s = np.array([1.0 if not (o >> a) & 1 else -1.0 for a in range(3)],
-                     np.float32)
-        key = centroid @ s
-        orders[o] = np.argsort(key, kind="stable").astype(np.int32)
-
     return Treelets(
         lo=jnp.asarray(lo), hi=jnp.asarray(hi),
         bw=jnp.asarray(bw, jnp.bfloat16),
-        oct_order=jnp.asarray(orders),
     )
 
 
@@ -283,26 +270,17 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
 # front-to-back in the tile's direction octant.
 
 
-def _tile_octants(ds, n_tiles):
-    """(n_tiles,) direction octant of each (sorted) ray tile; tiles are
-    octant-uniform by construction of the sort key."""
-    d0 = ds.reshape(n_tiles, RAY_TILE, 3)[:, 0, :]
-    return (
-        (d0[:, 0] < 0).astype(jnp.int32)
-        | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
-        | ((d0[:, 2] < 0).astype(jnp.int32) << 2)
-    )
-
-
-def _build_pairs(mask, oct_order, tile_oct):
+def _build_pairs(mask, tnear):
     """Compact the (n_tiles, T) cull mask into a dense pair list.
 
     Returns (meta, n_pairs): meta is (P,) int32, tile << 16 | treelet,
-    tile-major with treelets in the tile's octant front-to-back order;
-    entries past n_pairs repeat the last real pair (sweeping a pair twice
-    is idempotent, so padding steps are harmless)."""
+    tile-major with treelets in *exact* per-tile front-to-back order (by
+    the cull pass's conservative entry distance) so the sweep kernels'
+    early-outs fire as soon as possible; entries past n_pairs repeat the
+    last real pair (sweeping a pair twice is idempotent, so padding steps
+    are harmless)."""
     n_tiles, T = mask.shape
-    srt = oct_order[tile_oct]                      # (n_tiles, T) treelet ids
+    srt = jnp.argsort(jnp.where(mask, tnear, 3.0e37), axis=1).astype(jnp.int32)
     alive = jnp.take_along_axis(mask, srt, 1)
     tile_ids = jnp.broadcast_to(
         jnp.arange(n_tiles, dtype=jnp.int32)[:, None], (n_tiles, T))
@@ -539,8 +517,7 @@ def closest_hit_packets(
     ts = t_max[order]
 
     mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
-    meta, n_pairs = _build_pairs(
-        mask, tl.oct_order, _tile_octants(ds, n_tiles))
+    meta, n_pairs = _build_pairs(mask, tnear)
     t_pad = -(-n_treelets // 128) * 128
     tnear3 = jnp.full((n_tiles, 1, t_pad), 3.0e37, jnp.float32)
     tnear3 = tnear3.at[:, 0, :n_treelets].set(tnear)
@@ -584,9 +561,8 @@ def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
     ds = d[order]
     ts = t_max[order]
 
-    mask, _ = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
-    meta, n_pairs = _build_pairs(
-        mask, tl.oct_order, _tile_octants(ds, n_tiles))
+    mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
+    meta, n_pairs = _build_pairs(mask, tnear)
 
     a6, d6 = _ray_matrices(os_, ds)
     occ0 = (ts <= 0.0).astype(jnp.int32)

@@ -52,3 +52,26 @@ class RenderMeter:
 
     def report(self) -> str:
         return json.dumps(self.summary())
+
+
+def time_device_fn(fn, *args, iters: int = 5):
+    """Honest TPU timing of a jittable fn: every output is reduced to one
+    scalar on device and synced once after `iters` dispatches.
+
+    Through the axon tunnel, `block_until_ready` can return before
+    execution finishes and each host sync costs ~25 ms, so per-leaf or
+    per-iteration syncing distorts measurements by 10-100x."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    g = jax.jit(lambda *a: jax.tree.reduce(
+        lambda x, y: x + y,
+        jax.tree.map(lambda x: jnp.sum(x).astype(jnp.float32), fn(*a)),
+    ))
+    float(np.asarray(g(*args)))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = g(*args)
+    float(np.asarray(r))
+    return (time.perf_counter() - t0) / iters
