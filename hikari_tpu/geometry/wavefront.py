@@ -541,12 +541,20 @@ def closest_hit_packets(
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
-                    active=None):
+                    active=None, group=None):
     """Occlusion-only pair sweep; front-to-back order plus the all-lanes-
-    resolved early-out make shadow rays the cheap half of the frame."""
+    resolved early-out make shadow rays the cheap half of the frame.
+
+    group: optional (R,) int32 — lanes are clustered by group before the
+    spatial sort key. NEE shadow rays grouped by their sampled light id
+    form single-target tiles whose frusta cull ~4x better than
+    light-mixed tiles."""
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37) * 0.9999
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
+    if group is not None:
+        group = jnp.concatenate(
+            [group, jnp.zeros((-len(group)) % RAY_TILE, group.dtype)])
     o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
     # padding lanes carry t_max=0 -> pre-resolved
     t_max = t_max.at[n:].set(0.0) if n_pad > n else t_max
@@ -554,6 +562,8 @@ def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
     n_treelets = tl.lo.shape[0]
 
     keys = ray_sort_keys(o, d, world_lo, world_hi)
+    if group is not None:
+        keys = ((group.astype(jnp.uint32) & jnp.uint32(63)) << 26) | (keys >> 6)
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(keys)
     inv_order = jnp.argsort(order)

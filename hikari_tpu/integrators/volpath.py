@@ -65,7 +65,7 @@ def scene_closest_hit(scene: SceneData, o, d, t_max, active=None):
     )
 
 
-def scene_any_hit(scene: SceneData, o, d, t_max, active=None):
+def scene_any_hit(scene: SceneData, o, d, t_max, active=None, group=None):
     if scene.traversal == "skiplink":
         from ..geometry.traverse import any_hit
 
@@ -77,6 +77,7 @@ def scene_any_hit(scene: SceneData, o, d, t_max, active=None):
     return any_hit_packets(
         scene.treelets, o, d, t_max, scene.world_lo, scene.world_hi,
         interpret=scene.traversal == "packets_interp", active=active,
+        group=group,
     )
 
 
@@ -407,7 +408,8 @@ def _closest_hit_surface(scene: SceneData, o, d, t_max, active):
     return HitRecord(hit=rec.hit, t=rec.t + t_off, tri=rec.tri, b1=rec.b1, b2=rec.b2)
 
 
-def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
+def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active,
+                  light_group=None):
     """Shadow ray with transmittance: walk through up to
     MAX_INTERFACE_CROSSINGS interface boundaries, ratio-tracking the medium
     transmittance of each segment (trace_shadow_transmittance,
@@ -421,7 +423,8 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active):
     if (not scene.has_media and mt.INTERFACE not in scene.present_materials
             and not scene.has_alpha):
         # fast path: plain occlusion test
-        occluded = scene_any_hit(scene, o_sh, wi, t_max, active=active)
+        occluded = scene_any_hit(scene, o_sh, wi, t_max, active=active,
+                                 group=light_group)
         T_ray = jnp.where(occluded[..., None], 0.0, ones4)
         return T_ray, ones4, ones4
 
@@ -766,7 +769,8 @@ def render_lanes(
             med_sh = jnp.where(scattered, medium_idx, _crossing_medium(sd, ls.wi))
             rays_traced = rays_traced + jnp.sum(contrib_ok.astype(jnp.float32))
             T_ray, rl_m, ru_m = _trace_shadow(
-                scene, o_sh, ls.wi, ls.t_max, med_sh, lam, contrib_ok
+                scene, o_sh, ls.wi, ls.t_max, med_sh, lam, contrib_ok,
+                light_group=li_flat,
             )
             # pbrt SampleLd: r_l' = r_u*pdf_l*rl_m, r_u' = r_u*pdf_b*ru_m
             r_l_sh = r_u * pdf_l[..., None] * rl_m
