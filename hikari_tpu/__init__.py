@@ -34,7 +34,8 @@ from .scene.mesh import (
 
 # materials (reference aliases included: Diffuse/Dielectric/Metal/Plastic)
 from .materials.types import (
-    BK7, SF11, Aluminum, Brass, CoatedConductor, CoatedDiffuse, Conductor,
+    BK7, SF11, Aluminum, Brass, CoatedConductor, CoatedDiffuse,
+    CoatedDiffuseTransmission, Conductor,
     Copper, Diamond, Dielectric, Diffuse, DiffuseTransmission, Emissive,
     FusedSilica, Glass, Gold, Interface, Matte, Metal, Mirror, Mix, Plastic,
     Sapphire, Silver, ThinDielectric,

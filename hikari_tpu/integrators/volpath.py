@@ -162,6 +162,16 @@ def _sample_bsdf_dispatch(
             ml.sample_coated_conductor(banks, mat_idx, table, wo, lam, u2, uc, tex),
             mt.COATED_CONDUCTOR,
         )
+    if mt.COATED_DIFFUSE_TRANSMISSION in present:
+        from ..materials import layered as ml
+
+        out = merge(
+            out,
+            ml.sample_coated_diffuse_transmission(
+                banks, mat_idx, table, wo, lam, u2, uc, tex
+            ),
+            mt.COATED_DIFFUSE_TRANSMISSION,
+        )
     return out
 
 
@@ -198,6 +208,7 @@ def _eval_bsdf_dispatch(
         pdf = jnp.where(m, pd, pdf)
     if eval_u2 is not None and (
         mt.COATED_DIFFUSE in present or mt.COATED_CONDUCTOR in present
+        or mt.COATED_DIFFUSE_TRANSMISSION in present
     ):
         from ..materials import layered as ml
 
@@ -213,6 +224,13 @@ def _eval_bsdf_dispatch(
                 banks, mat_idx, table, wo, wi, lam, eval_u2, eval_uc, tex
             )
             m = mat_type == mt.COATED_CONDUCTOR
+            f = jnp.where(m[..., None], fc_, f)
+            pdf = jnp.where(m, pc_, pdf)
+        if mt.COATED_DIFFUSE_TRANSMISSION in present:
+            fc_, pc_ = ml.eval_coated_diffuse_transmission(
+                banks, mat_idx, table, wo, wi, lam, eval_u2, eval_uc, tex
+            )
+            m = mat_type == mt.COATED_DIFFUSE_TRANSMISSION
             f = jnp.where(m[..., None], fc_, f)
             pdf = jnp.where(m, pc_, pdf)
     return f, pdf
@@ -501,6 +519,12 @@ def _albedo_rgb_dispatch(scene: SceneData, mat_type, mat_idx, tex):
         put(mt.CONDUCTOR, r0)
     if mt.COATED_DIFFUSE in present:
         put(mt.COATED_DIFFUSE, mb._tex_rgb(b.cd_refl, b.cd_refl_tex, idx, tex))
+    if mt.COATED_DIFFUSE_TRANSMISSION in present:
+        put(
+            mt.COATED_DIFFUSE_TRANSMISSION,
+            mb._tex_rgb(b.cdt_refl, b.cdt_refl_tex, idx, tex)
+            + mb._tex_rgb(b.cdt_trans, b.cdt_trans_tex, idx, tex),
+        )
     if mt.DIFFUSE_TRANSMISSION in present:
         put(
             mt.DIFFUSE_TRANSMISSION,

@@ -143,6 +143,33 @@ def _bottom_conductor_sample(eta4, k4, ax, ay, w_down, u2):
     return wi, jnp.where(valid[..., None], weight, 0.0), valid
 
 
+def _bottom_dt_sample(refl4, trans4, w_down, u2, uc):
+    """Diffuse-transmission bottom (CoatedDiffuseTransmission): reflect up
+    with probability p_refl, else transmit down *through* the bottom layer
+    (the walk then exits the material). weight = f*cos/pdf of the chosen
+    lobe (pbrt DiffuseTransmissionBxDF::Sample_f)."""
+    pr = jnp.maximum(jnp.max(refl4, -1), 1e-9)
+    pt = jnp.maximum(jnp.max(trans4, -1), 0.0)
+    p_refl = pr / (pr + pt)
+    choose_r = uc < p_refl
+    wi = cosine_sample_hemisphere(u2)  # z > 0
+    sgn_z = jnp.where(choose_r, 1.0, -1.0)
+    wi = wi * jnp.stack([jnp.ones_like(sgn_z), jnp.ones_like(sgn_z), sgn_z], -1)
+    weight = jnp.where(
+        choose_r[..., None],
+        refl4 / p_refl[..., None],
+        trans4 / jnp.maximum(1.0 - p_refl, 1e-9)[..., None],
+    )
+    return wi, weight, jnp.ones(w_down.shape[:-1], bool)
+
+
+def _bottom_dt_f(refl4, trans4, w_down, wi):
+    """f of the diffuse-transmission bottom: wi up = reflection lobe, wi
+    down = transmission lobe (both Lambertian)."""
+    up = wi[..., 2] > 0.0
+    return jnp.where(up[..., None], refl4, trans4) * INV_PI
+
+
 def _bottom_conductor_f(eta4, k4, ax, ay, w_down, wi_up):
     """f of the conductor bottom for NEE connections (zero when smooth)."""
     wo = -w_down
@@ -189,9 +216,15 @@ def layered_sample(
     wo, lam, u2, uc,
     top_eta, top_ax, top_ay,
     thick, albedo4, g,
-    bottom_sample,  # fn(w_down, u2) -> (w_up, weight4, valid)
+    bottom_sample,  # fn(w_down, u2, uc) -> (w_new, weight4, valid)
+    bottom_exits: bool = False,
 ) -> BSDFSample:
-    """Stochastic LayeredBxDF sample (pbrt Sample_f)."""
+    """Stochastic LayeredBxDF sample (pbrt Sample_f).
+
+    bottom_exits: the bottom layer transmits (CoatedDiffuseTransmission,
+    coated-diffuse-transmission.jl:10 — LayeredBxDF<Dielectric,
+    DiffuseTransmission, true>); a bottom sample that continues downward
+    exits the material as an overall transmission."""
     n = wo.shape[0]
     flip = wo[..., 2] < 0.0
     sgn = jnp.where(flip, -1.0, 1.0)
@@ -210,6 +243,7 @@ def layered_sample(
         beta=ones4 * s_top["weight"][..., None],
         alive=entered,
         exited=jnp.zeros((n,), bool),
+        trans_out=jnp.zeros((n,), bool),
         wi_out=jnp.zeros_like(wo).at[..., 2].set(1.0),
         w_out=jnp.zeros_like(lam),
     )
@@ -223,11 +257,17 @@ def layered_sample(
 
         # bottom event
         rng, ub2 = _rng_next2(rng)
-        w_up, bw, b_ok = bottom_sample(w, ub2)
+        rng, ubc = _rng_next(rng)
+        w_b, bw, b_ok = bottom_sample(w, ub2, ubc)
         hit_bottom = at_iface & going_down
         beta = jnp.where(hit_bottom[..., None], beta * bw, beta)
-        w = jnp.where(hit_bottom[..., None], w_up, w)
+        w = jnp.where(hit_bottom[..., None], w_b, w)
         dead_b = hit_bottom & ~b_ok
+        # transmission exit through the bottom layer
+        if bottom_exits:
+            escape_b = hit_bottom & b_ok & (w_b[..., 2] < 0.0)
+        else:
+            escape_b = jnp.zeros((n,), bool)
 
         # top event (from inside): the interface query direction points away
         # from the interface, i.e. opposite the propagation direction
@@ -241,18 +281,22 @@ def layered_sample(
         dead_t = hit_top & ~s["valid"]
 
         wi_out = jnp.where(escape[..., None], s["wi"], st["wi_out"])
+        wi_out = jnp.where(escape_b[..., None], w, wi_out)
         w_out = jnp.where(
             escape[..., None], beta * s["weight"][..., None], st["w_out"]
         )
+        w_out = jnp.where(escape_b[..., None], beta, w_out)
         beta = jnp.where(bounce[..., None], beta * s["weight"][..., None], beta)
         w = jnp.where(bounce[..., None], s["wi"], w)
 
-        alive = st["alive"] & ~escape & ~dead_b & ~dead_t
+        alive = st["alive"] & ~escape & ~escape_b & ~dead_b & ~dead_t
         # kill fully absorbed lanes
         alive = alive & jnp.any(beta > 1e-9, -1)
         return dict(
             rng=rng, w=w, beta=beta, alive=alive,
-            exited=st["exited"] | escape, wi_out=wi_out, w_out=w_out,
+            exited=st["exited"] | escape | escape_b,
+            trans_out=st["trans_out"] | escape_b,
+            wi_out=wi_out, w_out=w_out,
         )
 
     state = jax.lax.fori_loop(0, MAX_WALK, step, state)
@@ -262,7 +306,9 @@ def layered_sample(
     wi = wi_l * jnp.stack([jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], -1)
     cos_i = jnp.maximum(abs_cos_theta(wi_l), 1e-6)
 
-    pdf_a = layered_pdf_approx(wo_l, wi_l, top_eta, top_ax, top_ay)
+    pdf_a = layered_pdf_approx(
+        wo_l, wi_l, top_eta, top_ax, top_ay, two_sided=bottom_exits
+    )
     # premultiplied: f*cos/pdf_a == walk weight
     weight4 = jnp.where(
         refl_exit[..., None],
@@ -278,20 +324,26 @@ def layered_sample(
         wi=wi, f=f,
         pdf=jnp.where(spec, 1.0, pdf_a),
         specular=spec,
-        transmission=jnp.zeros(shape, bool),
+        transmission=state["trans_out"],
         eta_scale=jnp.ones(shape, jnp.float32),
         valid=valid & (pdf_a > 1e-9),
     )
 
 
-def layered_pdf_approx(wo_l, wi_l, top_eta, top_ax, top_ay):
+def layered_pdf_approx(wo_l, wi_l, top_eta, top_ax, top_ay, two_sided=False):
     """Approximate solid-angle pdf for MIS: a blend of the cosine lobe and
     the top interface's reflection lobe (pbrt mixes a stochastic estimate
-    with a lambertian stabilizer the same way)."""
+    with a lambertian stabilizer the same way).
+
+    two_sided: the material also transmits (CoatedDiffuseTransmission);
+    the transmitted hemisphere gets a cosine-lobe pdf with half the mass
+    split between hemispheres."""
     cos_pdf = abs_cos_theta(wi_l) * INV_PI
     _, pdf_top = dielectric_interface_f(wo_l, wi_l, top_eta, top_ax, top_ay)
     same = wo_l[..., 2] * wi_l[..., 2] > 0.0
     pdf = 0.5 * cos_pdf + 0.5 * jnp.where(pdf_top > 0.0, pdf_top, cos_pdf)
+    if two_sided:
+        return jnp.where(same, 0.5 * pdf, 0.5 * cos_pdf)
     return jnp.where(same, pdf, 0.0)
 
 
@@ -300,6 +352,7 @@ def layered_f(
     top_eta, top_ax, top_ay,
     thick, albedo4, g,
     bottom_sample, bottom_f,
+    bottom_exits: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stochastic (f, pdf) for NEE MIS (pbrt LayeredBxDF::f).
 
@@ -309,6 +362,11 @@ def layered_f(
     connection uses the deterministic refraction channel implicitly through
     bottom_sample-driven exits — matching pbrt, those terms are then covered
     by BSDF sampling instead and f returns only the rough-top contribution.
+
+    bottom_exits: the bottom layer transmits; for a wi in the hemisphere
+    opposite wo the bottom layer IS the exit interface, so every bottom
+    vertex connects directly through its transmission lobe (pbrt's
+    `z == exitZ` branch of LayeredBxDF::f).
     """
     n = wo.shape[0]
     flip = wo[..., 2] < 0.0
@@ -343,7 +401,7 @@ def layered_f(
         rng=rng,
         w=s_top["wi"],
         beta=ones4 * s_top["weight"][..., None],
-        alive=entered & same,
+        alive=entered & (same | bottom_exits),
         f=jnp.zeros_like(lam),
     )
 
@@ -355,26 +413,38 @@ def layered_f(
         going_down = w[..., 2] < 0.0
         hit_bottom = at_iface & going_down
 
-        # NEE connection: bottom vertex -> (upward through slab) -> exit
-        # channel -> wi. Transmittance of the upward crossing:
+        # NEE connection (reflection query): bottom vertex -> (upward
+        # through slab) -> exit channel -> wi. Transmittance of the upward
+        # crossing:
         tau_up = thick / jnp.maximum(jnp.abs(w_exit_in[..., 2]), 1e-6)
-        has_med = jnp.any(albedo4 > 0.0, -1)
-        tr_up = jnp.where(has_med, jnp.exp(-tau_up), jnp.exp(-tau_up))
+        tr_up = jnp.exp(-tau_up)
         fb = bottom_f(w, -w_exit_in)
         contrib = (
             beta * fb * jnp.abs(w_exit_in[..., 2])[..., None]
             * (tr_up * exit_w)[..., None]
         )
         f_acc = st["f"] + jnp.where(
-            (hit_bottom & exit_ok)[..., None], contrib, 0.0
+            (hit_bottom & exit_ok & same)[..., None], contrib, 0.0
         )
+        if bottom_exits:
+            # transmission query: the bottom layer is the exit interface —
+            # connect directly through its transmission lobe (wi_l is down)
+            contrib_t = beta * bottom_f(w, wi_l)
+            f_acc = f_acc + jnp.where(
+                (hit_bottom & ~same)[..., None], contrib_t, 0.0
+            )
 
         # continue the walk
         rng, ub2 = _rng_next2(rng)
-        w_up, bw, b_ok = bottom_sample(w, ub2)
+        rng, ubc = _rng_next(rng)
+        w_b, bw, b_ok = bottom_sample(w, ub2, ubc)
         beta = jnp.where(hit_bottom[..., None], beta * bw, beta)
-        w = jnp.where(hit_bottom[..., None], w_up, w)
+        w = jnp.where(hit_bottom[..., None], w_b, w)
         dead_b = hit_bottom & ~b_ok
+        # a transmitting bottom may pass the walk out of the material
+        exit_b = hit_bottom & (w_b[..., 2] < 0.0) if bottom_exits else (
+            jnp.zeros_like(hit_bottom)
+        )
 
         rng, ut2 = _rng_next2(rng)
         rng, utc = _rng_next(rng)
@@ -385,15 +455,20 @@ def layered_f(
         beta = jnp.where(bounce[..., None], beta * s["weight"][..., None], beta)
         w = jnp.where(bounce[..., None], s["wi"], w)
 
-        alive = st["alive"] & ~escape & ~dead_b & ~(hit_top & ~s["valid"])
+        alive = st["alive"] & ~escape & ~exit_b & ~dead_b & ~(hit_top & ~s["valid"])
         alive = alive & jnp.any(beta > 1e-9, -1)
         return dict(rng=rng, w=w, beta=beta, alive=alive, f=f_acc)
 
     state = jax.lax.fori_loop(0, MAX_WALK // 2, step, state)
+    valid_q = same | bottom_exits
     f_sum = f_sum + jnp.where(same[..., None], state["f"], 0.0)
+    if bottom_exits:
+        f_sum = jnp.where(same[..., None], f_sum, state["f"])
 
-    pdf = layered_pdf_approx(wo_l, wi_l, top_eta, top_ax, top_ay)
-    return jnp.where(same[..., None], f_sum, 0.0), pdf
+    pdf = layered_pdf_approx(
+        wo_l, wi_l, top_eta, top_ax, top_ay, two_sided=bottom_exits
+    )
+    return jnp.where(valid_q[..., None], f_sum, 0.0), pdf
 
 
 # --- material-bank entry points ---------------------------------------------------
@@ -404,7 +479,7 @@ def sample_coated_diffuse(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFS
                         banks.cd_refl_tex, idx, tex, table, lam)
     alb = coeff4_eval(_bl(banks.cd_albedo_c4, idx), lam)
 
-    def bottom(w_down, ub2):
+    def bottom(w_down, ub2, ubc):
         wi, wgt = _bottom_diffuse_sample(refl, w_down, ub2)
         return wi, wgt, jnp.ones(w_down.shape[:-1], bool)
 
@@ -421,7 +496,7 @@ def eval_coated_diffuse(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
                         banks.cd_refl_tex, idx, tex, table, lam)
     alb = coeff4_eval(_bl(banks.cd_albedo_c4, idx), lam)
 
-    def bottom(w_down, ub2):
+    def bottom(w_down, ub2, ubc):
         wi_b, wgt = _bottom_diffuse_sample(refl, w_down, ub2)
         return wi_b, wgt, jnp.ones(w_down.shape[:-1], bool)
 
@@ -444,7 +519,7 @@ def sample_coated_conductor(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSD
     cax = _bl(banks.cc_cax, idx)
     cay = _bl(banks.cc_cay, idx)
 
-    def bottom(w_down, ub2):
+    def bottom(w_down, ub2, ubc):
         return _bottom_conductor_sample(eta4, k4, cax, cay, w_down, ub2)
 
     return layered_sample(
@@ -463,7 +538,7 @@ def eval_coated_conductor(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
     cax = _bl(banks.cc_cax, idx)
     cay = _bl(banks.cc_cay, idx)
 
-    def bottom(w_down, ub2):
+    def bottom(w_down, ub2, ubc):
         return _bottom_conductor_sample(eta4, k4, cax, cay, w_down, ub2)
 
     def bottom_f(w_down, wi_up):
@@ -474,4 +549,51 @@ def eval_coated_conductor(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
         _bl(banks.cc_eta, idx), _bl(banks.cc_iax, idx), _bl(banks.cc_iay, idx),
         _bl(banks.cc_thick, idx), alb, _bl(banks.cc_g, idx),
         bottom, bottom_f,
+    )
+
+
+def sample_coated_diffuse_transmission(
+    banks, idx, table, wo, lam, u2, uc, tex=None
+) -> BSDFSample:
+    """CoatedDiffuseTransmission (coated-diffuse-transmission.jl:12;
+    spectral-eval.jl:2243-2856): dielectric coating over a diffuse layer
+    that both reflects and transmits — the layered walk may exit through
+    the bottom."""
+    refl = _albedo_spec(banks, banks.cdt_refl_c4, banks.cdt_refl,
+                        banks.cdt_refl_tex, idx, tex, table, lam)
+    trans = _albedo_spec(banks, banks.cdt_trans_c4, banks.cdt_trans,
+                         banks.cdt_trans_tex, idx, tex, table, lam)
+    alb = coeff4_eval(_bl(banks.cdt_albedo_c4, idx), lam)
+
+    def bottom(w_down, ub2, ubc):
+        return _bottom_dt_sample(refl, trans, w_down, ub2, ubc)
+
+    return layered_sample(
+        wo, lam, u2, uc,
+        _bl(banks.cdt_eta, idx), _bl(banks.cdt_ax, idx), _bl(banks.cdt_ay, idx),
+        _bl(banks.cdt_thick, idx), alb, _bl(banks.cdt_g, idx),
+        bottom, bottom_exits=True,
+    )
+
+
+def eval_coated_diffuse_transmission(
+    banks, idx, table, wo, wi, lam, u2, uc, tex=None
+):
+    refl = _albedo_spec(banks, banks.cdt_refl_c4, banks.cdt_refl,
+                        banks.cdt_refl_tex, idx, tex, table, lam)
+    trans = _albedo_spec(banks, banks.cdt_trans_c4, banks.cdt_trans,
+                         banks.cdt_trans_tex, idx, tex, table, lam)
+    alb = coeff4_eval(_bl(banks.cdt_albedo_c4, idx), lam)
+
+    def bottom(w_down, ub2, ubc):
+        return _bottom_dt_sample(refl, trans, w_down, ub2, ubc)
+
+    def bottom_f(w_down, wi_q):
+        return _bottom_dt_f(refl, trans, w_down, wi_q)
+
+    return layered_f(
+        wo, wi, lam, u2, uc,
+        _bl(banks.cdt_eta, idx), _bl(banks.cdt_ax, idx), _bl(banks.cdt_ay, idx),
+        _bl(banks.cdt_thick, idx), alb, _bl(banks.cdt_g, idx),
+        bottom, bottom_f, bottom_exits=True,
     )

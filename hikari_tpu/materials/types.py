@@ -32,7 +32,8 @@ DIFFUSE_TRANSMISSION = 7
 MIX = 8        # resolved to a concrete child at intersection time
 COATED_DIFFUSE = 9
 COATED_CONDUCTOR = 10
-N_MATERIAL_TYPES = 11
+COATED_DIFFUSE_TRANSMISSION = 11
+N_MATERIAL_TYPES = 12
 
 _LAM_GRID = np.arange(360.0, 831.0, dtype=np.float64)  # 471 samples
 
@@ -178,6 +179,23 @@ def Plastic(kd=(0.5, 0.5, 0.5), roughness=0.1, **kw):
 
 
 @dataclass
+class CoatedDiffuseTransmission:
+    """Dielectric coating over a diffuse layer that both reflects and
+    transmits (leaves, thin fabric, coated paper;
+    coated-diffuse-transmission.jl:12 — pbrt LayeredBxDF<DielectricBxDF,
+    DiffuseTransmissionBxDF, true>)."""
+
+    reflectance: object = (0.5, 0.5, 0.5)
+    transmittance: object = (0.25, 0.25, 0.25)
+    roughness: float = 0.0       # coating interface roughness
+    ior: float = 1.5
+    thickness: float = 0.01
+    albedo: tuple = (0.0, 0.0, 0.0)
+    g: float = 0.0
+    remap_roughness: bool = True
+
+
+@dataclass
 class CoatedConductor:
     """Dielectric coating over a conductor (coated-conductor.jl:48; pbrt
     CoatedConductorMaterial)."""
@@ -308,6 +326,19 @@ class MaterialBanks:
     cc_thick: jnp.ndarray
     cc_albedo: jnp.ndarray       # (Ncc, 3)
     cc_g: jnp.ndarray
+    # coated diffuse transmission
+    cdt_refl: jnp.ndarray        # (Nct, 3)
+    cdt_trans: jnp.ndarray       # (Nct, 3)
+    cdt_refl_tex: jnp.ndarray    # (Nct,) int32
+    cdt_trans_tex: jnp.ndarray   # (Nct,) int32
+    cdt_refl_c4: jnp.ndarray     # (Nct, 4)
+    cdt_trans_c4: jnp.ndarray    # (Nct, 4)
+    cdt_albedo_c4: jnp.ndarray   # (Nct, 4)
+    cdt_ax: jnp.ndarray          # (Nct,)
+    cdt_ay: jnp.ndarray
+    cdt_eta: jnp.ndarray
+    cdt_thick: jnp.ndarray
+    cdt_g: jnp.ndarray
     # static: any material field is image/vertex-color driven (False ->
     # shading skips the runtime-uplift path entirely)
     has_textures: bool = False
@@ -360,6 +391,8 @@ def pack_materials(
     thin_kr, thin_kt, thin_eta = [], [], []
     dt_refl, dt_trans, dt_refl_tex, dt_trans_tex = [], [], [], []
     cd = {k: [] for k in ("refl", "refl_tex", "ax", "ay", "eta", "thick", "albedo", "g")}
+    cdt = {k: [] for k in ("refl", "refl_tex", "trans", "trans_tex", "ax", "ay",
+                           "eta", "thick", "albedo", "g")}
     cc = {k: [] for k in ("iax", "iay", "eta", "ceta", "ck", "cax", "cay",
                           "thick", "albedo", "g")}
     mix_rows: list[tuple[int, Mix]] = []  # (slot in `work`, material)
@@ -464,6 +497,21 @@ def pack_materials(
             cd["thick"].append(m.thickness)
             cd["albedo"].append(tuple(np.broadcast_to(np.asarray(m.albedo, np.float32), (3,))))
             cd["g"].append(m.g)
+        elif isinstance(m, CoatedDiffuseTransmission):
+            tags[i], idxs[i] = COATED_DIFFUSE_TRANSMISSION, len(cdt["refl"])
+            r, r_tex = resolve_rgb(m.reflectance, (0.5, 0.5, 0.5))
+            t, t_tex = resolve_rgb(m.transmittance, (0.25, 0.25, 0.25))
+            cdt["refl"].append(r)
+            cdt["refl_tex"].append(r_tex)
+            cdt["trans"].append(t)
+            cdt["trans_tex"].append(t_tex)
+            a = _remap_alpha_host(m.roughness, m.remap_roughness)
+            cdt["ax"].append(a)
+            cdt["ay"].append(a)
+            cdt["eta"].append(m.ior)
+            cdt["thick"].append(m.thickness)
+            cdt["albedo"].append(tuple(np.broadcast_to(np.asarray(m.albedo, np.float32), (3,))))
+            cdt["g"].append(m.g)
         elif isinstance(m, CoatedConductor):
             tags[i], idxs[i] = COATED_CONDUCTOR, len(cc["iax"])
             ia = _remap_alpha_host(m.interface_roughness, m.remap_roughness)
@@ -620,12 +668,24 @@ def pack_materials(
         cc_thick=pad1(cc["thick"], 0.01),
         cc_albedo=pad3(cc["albedo"]),
         cc_g=pad1(cc["g"]),
+        cdt_refl=pad3(cdt["refl"], (0.5, 0.5, 0.5)),
+        cdt_trans=pad3(cdt["trans"], (0.25, 0.25, 0.25)),
+        cdt_refl_tex=pad1(cdt["refl_tex"], -1, jnp.int32),
+        cdt_trans_tex=pad1(cdt["trans_tex"], -1, jnp.int32),
+        cdt_refl_c4=a_c4(cdt["refl"], (0.5, 0.5, 0.5)),
+        cdt_trans_c4=a_c4(cdt["trans"], (0.25, 0.25, 0.25)),
+        cdt_albedo_c4=a_c4(cdt["albedo"], (0.0, 0.0, 0.0)),
+        cdt_ax=pad1(cdt["ax"]),
+        cdt_ay=pad1(cdt["ay"]),
+        cdt_eta=pad1(cdt["eta"], 1.5),
+        cdt_thick=pad1(cdt["thick"], 0.01),
+        cdt_g=pad1(cdt["g"]),
         has_textures=any(
             int(v) != -1
             for lst in (matte_kd_tex, mirror_kr_tex, glass["kr_tex"],
                         glass["kt_tex"], glass["rough_tex"], cond_rough_tex,
                         emis_le_tex, dt_refl_tex, dt_trans_tex, cd["refl_tex"],
-                        mix_amt_tex)
+                        cdt["refl_tex"], cdt["trans_tex"], mix_amt_tex)
             for v in lst
         ),
     )

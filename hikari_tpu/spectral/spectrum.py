@@ -43,6 +43,17 @@ def sample_wavelengths_uniform(u: jnp.ndarray) -> SampledWavelengths:
     return SampledWavelengths(lam, pdf)
 
 
+def sample_wavelengths_stratified(u4: jnp.ndarray) -> SampledWavelengths:
+    """4 wavelengths, one per quarter-stratum of [LAMBDA_MIN, LAMBDA_MAX]
+    (spectral.jl:162-174). u4 is (..., 4) independent uniforms."""
+    u4 = jnp.asarray(u4, jnp.float32)
+    stratum = LAMBDA_RANGE / 4.0
+    starts = LAMBDA_MIN + jnp.arange(4, dtype=jnp.float32) * stratum
+    lam = starts + u4 * stratum
+    pdf = jnp.full_like(lam, 1.0 / LAMBDA_RANGE)
+    return SampledWavelengths(lam, pdf)
+
+
 def visible_wavelengths_pdf(lam: jnp.ndarray) -> jnp.ndarray:
     """sech^2 PDF centered at 538 nm (spectral.jl:192-201)."""
     x = 0.0072 * (lam - 538.0)

@@ -31,10 +31,14 @@ VERTEX_TEX = -2
 
 @dataclass
 class ImageTexture:
-    """Image-backed texture. image: (H, W, 3) or (H, W) float; uv wraps."""
+    """Image-backed texture. image: (H, W, 3) or (H, W) float; uv wraps.
+
+    uv_scale/uv_offset are the reference's UVMapping2D (su, sv, du, dv)
+    parameters (mapping.jl:9-37): st = uv * scale + offset."""
 
     image: np.ndarray
     uv_scale: tuple = (1.0, 1.0)
+    uv_offset: tuple = (0.0, 0.0)
 
 
 @dataclass
@@ -56,6 +60,7 @@ class TextureAtlas:
     width: jnp.ndarray      # (K, L) int32
     height: jnp.ndarray     # (K, L) int32
     uv_scale: jnp.ndarray   # (K, 2)
+    uv_offset: jnp.ndarray  # (K, 2)
 
 
 class AtlasBuilder:
@@ -64,6 +69,7 @@ class AtlasBuilder:
     def __init__(self):
         self.images: list[np.ndarray] = []
         self.uv_scales: list[tuple] = []
+        self.uv_offsets: list[tuple] = []
 
     def add(self, tex: ImageTexture) -> int:
         img = np.asarray(tex.image, np.float32)
@@ -72,6 +78,7 @@ class AtlasBuilder:
         assert img.ndim == 3 and img.shape[2] == 3, img.shape
         self.images.append(img)
         self.uv_scales.append(tuple(tex.uv_scale))
+        self.uv_offsets.append(tuple(getattr(tex, "uv_offset", (0.0, 0.0))))
         return len(self.images) - 1
 
     def build(self) -> TextureAtlas:
@@ -82,6 +89,7 @@ class AtlasBuilder:
                 width=jnp.ones((1, 1), jnp.int32),
                 height=jnp.ones((1, 1), jnp.int32),
                 uv_scale=jnp.ones((1, 2), jnp.float32),
+                uv_offset=jnp.zeros((1, 2), jnp.float32),
             )
 
         def downsample(im):
@@ -131,6 +139,7 @@ class AtlasBuilder:
             width=jnp.asarray(ws, jnp.int32),
             height=jnp.asarray(hs, jnp.int32),
             uv_scale=jnp.asarray(self.uv_scales, jnp.float32),
+            uv_offset=jnp.asarray(self.uv_offsets, jnp.float32),
         )
 
 
@@ -156,12 +165,13 @@ def atlas_lookup(atlas: TextureAtlas, tex: jnp.ndarray, uv: jnp.ndarray,
     w = atlas.width[t, level]
     h = atlas.height[t, level]
     sc = atlas.uv_scale[t]
+    do = atlas.uv_offset[t]
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
 
-    u = uv[..., 0] * sc[..., 0]
+    u = uv[..., 0] * sc[..., 0] + do[..., 0]
     # image rows run top-down; flip v so uv=(0,0) is the bottom-left texel
-    v = (1.0 - uv[..., 1]) * sc[..., 1]
+    v = 1.0 - (uv[..., 1] * sc[..., 1] + do[..., 1])
     x = u * wf - 0.5
     y = v * hf - 0.5
     x0 = jnp.floor(x).astype(jnp.int32)

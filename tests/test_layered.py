@@ -142,3 +142,126 @@ def test_coated_diffuse_render():
     center = img[10:24, 10:24]
     red_ratio = center[..., 0].sum() / max(center.sum(), 1e-6)
     assert red_ratio > 0.4, red_ratio
+
+
+# --- CoatedDiffuseTransmission (coated-diffuse-transmission.jl:12) ------------
+
+
+def test_cdt_zero_transmittance_matches_coated_diffuse():
+    """trans=0 reduces CDT to CoatedDiffuse (same walk, opaque bottom)."""
+    from hikari_tpu.materials.types import CoatedDiffuseTransmission
+
+    b_cd = _banks([CoatedDiffuse(reflectance=(0.8,) * 3, thickness=0.0)])
+    b_ct = _banks([CoatedDiffuseTransmission(
+        reflectance=(0.8,) * 3, transmittance=(0.0,) * 3, thickness=0.0)])
+    n = 16384
+
+    def energy(fn, banks, seed):
+        s, *_ = _sample_batch(fn, banks, n, seed)
+        ok = np.asarray(s.valid)
+        thr = np.asarray(s.f) * (
+            np.abs(np.asarray(s.wi[:, 2])) / np.maximum(np.asarray(s.pdf), 1e-9)
+        )[:, None]
+        return thr[ok].mean(), np.asarray(s.wi[:, 2])[ok], np.asarray(s.transmission)[ok]
+
+    e_cd, _, _ = energy(ml.sample_coated_diffuse, b_cd, 0)
+    e_ct, wi_z, trans = energy(ml.sample_coated_diffuse_transmission, b_ct, 0)
+    # same transport: energies agree within MC noise
+    assert abs(e_cd - e_ct) < 0.05 * max(e_cd, 1e-6), (e_cd, e_ct)
+    assert np.all(wi_z > 0.0)
+    assert not trans.any()
+
+
+def test_cdt_transmits_and_conserves_energy():
+    from hikari_tpu.materials.types import CoatedDiffuseTransmission
+
+    banks = _banks([CoatedDiffuseTransmission(
+        reflectance=(0.5,) * 3, transmittance=(0.4,) * 3, thickness=0.0)])
+    n = 32768
+    s, *_ = _sample_batch(ml.sample_coated_diffuse_transmission, banks, n)
+    ok = np.asarray(s.valid)
+    assert ok.mean() > 0.85, ok.mean()
+    wi_z = np.asarray(s.wi[:, 2])[ok]
+    trans = np.asarray(s.transmission)[ok]
+    # transmitted samples exist, land in the lower hemisphere, and are flagged
+    assert trans.mean() > 0.15, trans.mean()
+    assert np.all(wi_z[trans] < 0.0)
+    assert np.all(wi_z[~trans] > 0.0)
+    thr = np.asarray(s.f) * (
+        np.abs(np.asarray(s.wi[:, 2])) / np.maximum(np.asarray(s.pdf), 1e-9)
+    )[:, None]
+    mean_e = thr[ok].mean()
+    # total scattering (R+T walk estimate) bounded by refl+trans albedo
+    assert mean_e <= 1.0, mean_e
+    assert mean_e > 0.5, mean_e
+
+
+def test_cdt_near_bare_interface_matches_diffuse_transmission_split():
+    """thickness=0 + near-unity coating IOR: the lobe split tracks the bare
+    DiffuseTransmission reflect/transmit ratio."""
+    from hikari_tpu.materials.types import CoatedDiffuseTransmission
+
+    banks = _banks([CoatedDiffuseTransmission(
+        reflectance=(0.6,) * 3, transmittance=(0.3,) * 3,
+        thickness=0.0, ior=1.01)])
+    n = 32768
+    s, *_ = _sample_batch(ml.sample_coated_diffuse_transmission, banks, n)
+    ok = np.asarray(s.valid)
+    trans = np.asarray(s.transmission)[ok]
+    # expected transmit fraction ~ pt/(pr+pt) = 0.3/0.9 = 1/3 (single
+    # bottom event dominates when the coat is nearly invisible)
+    assert 0.25 < trans.mean() < 0.42, trans.mean()
+
+
+def test_cdt_eval_both_hemispheres():
+    from hikari_tpu.materials.types import CoatedDiffuseTransmission
+
+    banks = _banks([CoatedDiffuseTransmission(
+        reflectance=(0.6,) * 3, transmittance=(0.5,) * 3,
+        roughness=0.2, thickness=0.0)])
+    table = srgb_table()
+    n = 8192
+    wo = jnp.tile(jnp.asarray([[0.3, 0.0, 0.954]]), (n, 1))
+    wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+    lam = jnp.tile(jnp.array([[480.0, 530.0, 590.0, 650.0]]), (n, 1))
+    idx = jnp.zeros((n,), jnp.int32)
+    k = jax.random.PRNGKey(5)
+    u2 = jax.random.uniform(jax.random.fold_in(k, 1), (n, 2))
+    uc = jax.random.uniform(jax.random.fold_in(k, 2), (n,))
+    for wi_v, label in [([-0.2, 0.1, 0.975], "refl"), ([-0.2, 0.1, -0.975], "trans")]:
+        wi = jnp.tile(jnp.asarray([wi_v], jnp.float32), (n, 1))
+        wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+        f, pdf = ml.eval_coated_diffuse_transmission(
+            banks, idx, table, wo, wi, lam, u2, uc)
+        f = np.asarray(f)
+        assert np.isfinite(f).all(), label
+        assert f.mean() > 1e-3, (label, f.mean())
+        assert float(np.asarray(pdf).mean()) > 1e-3, label
+
+
+def test_cdt_backlit_render():
+    """A backlit CDT panel transmits light to a camera on the dark side
+    (the leaf/lampshade use case)."""
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import VolPath, render
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import CoatedDiffuseTransmission
+    from hikari_tpu.scene.mesh import make_quad
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    s.add(make_quad((-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0)),
+          CoatedDiffuseTransmission(reflectance=(0.3, 0.5, 0.2),
+                                    transmittance=(0.3, 0.6, 0.25)))
+    # light BEHIND the panel (camera side is -z)
+    s.add_light(PointLight(position=(0.0, 0.0, 1.5), intensity=(30, 30, 30)))
+    scene = s.build()
+    cam = make_perspective_camera((0, 0, -2.2), (0, 0, 0), (24, 24), fov_deg=40.0)
+    img = np.asarray(framebuffer(render(
+        VolPath(max_depth=3, samples_per_pixel=16), scene, cam)))
+    assert np.all(np.isfinite(img))
+    center = img[8:16, 8:16]
+    assert center.mean() > 0.01, center.mean()
+    # transmitted tint is green-dominant
+    assert center[..., 1].sum() > center[..., 0].sum()

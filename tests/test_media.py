@@ -181,3 +181,28 @@ def test_pure_absorption_fog_darkens_everything():
     bright = lum_clear > np.percentile(lum_clear, 90)
     ratio = img_fog.mean(axis=-1)[bright].mean() / lum_clear[bright].mean()
     assert ratio < 0.6, ratio
+
+
+def test_medium_presets_full_set():
+    """All 40 measured presets from the reference table (media.jl:1769-1855)
+    are available and build valid homogeneous media."""
+    from hikari_tpu.media.types import _MEDIUM_PRESETS, medium_preset
+
+    reference_names = [
+        "Wholemilk", "Skimmilk", "LowfatMilk", "ReducedMilk", "RegularMilk",
+        "Cream", "LowfatChocolateMilk", "RegularChocolateMilk",
+        "LowfatSoyMilk", "RegularSoyMilk", "Espresso", "MintMochaCoffee",
+        "Chardonnay", "WhiteZinfandel", "Merlot", "BudweiserBeer",
+        "CoorsLightBeer", "AppleJuice", "CranberryJuice", "GrapeJuice",
+        "RubyGrapefruitJuice", "Sprite", "Coke", "Pepsi", "Apple", "Potato",
+        "Chicken1", "Chicken2", "Ketchup", "Skin1", "Skin2", "Marble",
+        "Spectralon", "Shampoo", "HeadShouldersShampoo", "Clorox",
+        "CappuccinoPowder", "SaltPowder", "SugarPowder",
+        "PacificOceanSurfaceWater",
+    ]
+    assert len(reference_names) == 40
+    for name in reference_names:
+        assert name in _MEDIUM_PRESETS, name
+        m = medium_preset(name)
+        ss, sa = _MEDIUM_PRESETS[name]
+        assert all(v >= 0 for v in ss + sa), name

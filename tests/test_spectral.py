@@ -114,3 +114,21 @@ def test_blackbody_peak():
     assert float(jnp.max(le)) <= 1.0 + 1e-5
     peak = float(lam[jnp.argmax(le)])
     assert abs(peak - 445.8) < 5.0
+
+
+def test_stratified_wavelengths():
+    """One wavelength per quarter stratum, uniform pdf (spectral.jl:162-174)."""
+    import numpy as np
+    from hikari_tpu.spectral.spectrum import (
+        LAMBDA_MAX, LAMBDA_MIN, LAMBDA_RANGE, sample_wavelengths_stratified,
+    )
+
+    u = jnp.asarray(np.random.RandomState(0).rand(128, 4), jnp.float32)
+    wl = sample_wavelengths_stratified(u)
+    lam = np.asarray(wl.lam)
+    assert lam.shape == (128, 4)
+    q = LAMBDA_RANGE / 4
+    for i in range(4):
+        assert np.all(lam[:, i] >= LAMBDA_MIN + i * q)
+        assert np.all(lam[:, i] <= LAMBDA_MIN + (i + 1) * q)
+    assert np.allclose(np.asarray(wl.pdf), 1.0 / LAMBDA_RANGE)

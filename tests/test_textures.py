@@ -108,3 +108,44 @@ def test_vertex_color_render():
     ratio = img[..., 0] / np.maximum(img.sum(-1), 1e-6)
     lit = img.sum(-1) > 1e-3
     assert ratio[lit].max() - ratio[lit].min() > 0.3
+
+
+def test_uv_mapping2d_offset_scale():
+    """UVMapping2D (su, sv, du, dv) parity (mapping.jl:9-37): an offset of
+    0.5 in u on a half-black/half-white texture swaps the halves."""
+    import numpy as np
+    from hikari_tpu.textures.atlas import (
+        AtlasBuilder, ImageTexture, atlas_lookup,
+    )
+
+    img = np.zeros((4, 8, 3), np.float32)
+    img[:, 4:] = 1.0  # right half white
+    b = AtlasBuilder()
+    t0 = b.add(ImageTexture(img))
+    t1 = b.add(ImageTexture(img, uv_offset=(0.5, 0.0)))
+    atlas = b.build()
+
+    uv = jnp.asarray([[0.25, 0.5]], jnp.float32)  # left half
+    c0 = np.asarray(atlas_lookup(atlas, jnp.asarray([t0]), uv))
+    c1 = np.asarray(atlas_lookup(atlas, jnp.asarray([t1]), uv))
+    assert c0.mean() < 0.2, c0
+    assert c1.mean() > 0.8, c1
+
+
+def test_transform_mapping3d():
+    """TransformMapping3D maps points and derivatives linearly
+    (mapping.jl:49-58)."""
+    import numpy as np
+    from hikari_tpu.core.transform import scale
+    from hikari_tpu.textures.mapping import TransformMapping3D, eval_noise3d
+
+    t = scale((2.0, 2.0, 2.0))
+    m = TransformMapping3D(world_to_texture=t)
+    p = jnp.asarray([[1.0, 2.0, 3.0]], jnp.float32)
+    dpdx = jnp.asarray([[0.1, 0.0, 0.0]], jnp.float32)
+    pt, dx, _ = m.map(p, dpdx, dpdx)
+    assert np.allclose(np.asarray(pt), [[2.0, 4.0, 6.0]])
+    assert np.allclose(np.asarray(dx), [[0.2, 0.0, 0.0]])
+    # procedural field evaluates through the mapping
+    v = eval_noise3d(m, jnp.asarray(np.random.RandomState(0).rand(16, 3), np.float32), "fbm")
+    assert np.isfinite(np.asarray(v)).all()
