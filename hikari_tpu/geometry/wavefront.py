@@ -63,6 +63,10 @@ LANES = 128
 ROWS = RAY_TILE // LANES
 TREELET = 256      # triangles per treelet (TT)
 PAIR_CHUNK = 128 * 1024  # pairs per pallas_call; meta chunk = 512 KB of SMEM
+# pair metadata packs (tile << TILE_SHIFT | treelet) into one int32:
+# <= 4096 ray tiles (4.2M rays per dispatch) x <= 1M world treelets
+TILE_SHIFT = 20
+TREELET_MASK = (1 << TILE_SHIFT) - 1
 
 
 @pytree_dataclass
@@ -284,7 +288,7 @@ def _build_pairs(mask, tnear):
     alive = jnp.take_along_axis(mask, srt, 1)
     tile_ids = jnp.broadcast_to(
         jnp.arange(n_tiles, dtype=jnp.int32)[:, None], (n_tiles, T))
-    meta = (tile_ids << 16) | srt
+    meta = (tile_ids << TILE_SHIFT) | srt
     flat_alive = alive.reshape(-1)
     flat_meta = meta.reshape(-1)
     P = n_tiles * T
@@ -321,9 +325,9 @@ def _closest_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
                           t_ref, tri_ref, b1_ref, b2_ref):
     p = pl.program_id(0)
     m = meta_ref[p]
-    tile = m >> 16
-    treelet = m & 0xFFFF
-    prev_tile = meta_ref[jnp.maximum(p - 1, 0)] >> 16
+    tile = m >> TILE_SHIFT
+    treelet = m & TREELET_MASK
+    prev_tile = meta_ref[jnp.maximum(p - 1, 0)] >> TILE_SHIFT
 
     @pl.when((p == 0) | (tile != prev_tile))
     def _init():  # first pair of this tile: load carried hit state
@@ -369,9 +373,9 @@ def _occlusion_pairs_kernel(meta_ref, a6_ref, d6_ref,
                             tmax_ref, occ_i_ref, bw_ref, occ_ref):
     p = pl.program_id(0)
     m = meta_ref[p]
-    tile = m >> 16
-    treelet = m & 0xFFFF
-    prev_tile = meta_ref[jnp.maximum(p - 1, 0)] >> 16
+    tile = m >> TILE_SHIFT
+    treelet = m & TREELET_MASK
+    prev_tile = meta_ref[jnp.maximum(p - 1, 0)] >> TILE_SHIFT
 
     @pl.when((p == 0) | (tile != prev_tile))
     def _init():
@@ -426,15 +430,15 @@ def _sweep_chunks(kernel, meta, n_pairs, tnear3, a6, d6, carry_in,
             [meta, jnp.broadcast_to(meta[-1:], (n_chunks * chunk - P,))])
 
     state_spec = lambda: pl.BlockSpec(
-        (1, RAY_TILE, 1), lambda p, m: (m[p] >> 16, 0, 0))
+        (1, RAY_TILE, 1), lambda p, m: (m[p] >> TILE_SHIFT, 0, 0))
     ray_spec = lambda: pl.BlockSpec(
-        (RAY_TILE, 24), lambda p, m: (m[p] >> 16, 0))
+        (RAY_TILE, 24), lambda p, m: (m[p] >> TILE_SHIFT, 0))
     bw_spec = pl.BlockSpec(
-        (1, 24, 3 * TREELET), lambda p, m: (m[p] & 0xFFFF, 0, 0))
+        (1, 24, 3 * TREELET), lambda p, m: (m[p] & TREELET_MASK, 0, 0))
     specs = [ray_spec(), ray_spec()]
     if tnear3 is not None:
         specs.insert(0, pl.BlockSpec(
-            (1, 1, tnear3.shape[-1]), lambda p, m: (m[p] >> 16, 0, 0)))
+            (1, 1, tnear3.shape[-1]), lambda p, m: (m[p] >> TILE_SHIFT, 0, 0)))
 
     n_carry = len(carry_in)
     out_shape = [jax.ShapeDtypeStruct((n_tiles, RAY_TILE, 1), c.dtype)

@@ -48,11 +48,18 @@ from ..scene.scene import SceneData
 from ..spectral import spectrum as sp
 from ..spectral.cie import spectral_to_xyz, xyz_to_linear_srgb
 
-MAX_INTERFACE_CROSSINGS = 8  # shadow-ray boundary chain cap (reference: 10)
+MAX_INTERFACE_CROSSINGS = 10  # shadow-ray boundary chain cap (intersection.jl:302)
 
 
 def scene_closest_hit(scene: SceneData, o, d, t_max, active=None):
     """Dispatch to the scene's traversal engine (static choice)."""
+    if scene.has_instances:
+        from ..geometry.instanced import closest_hit_instanced
+
+        return closest_hit_instanced(
+            scene.inst, o, d, t_max, scene.world_lo, scene.world_hi,
+            interpret=scene.traversal == "packets_interp", active=active,
+        )
     if scene.traversal == "skiplink":
         if active is not None:
             t_max = jnp.where(active, t_max, 0.0)
@@ -66,6 +73,14 @@ def scene_closest_hit(scene: SceneData, o, d, t_max, active=None):
 
 
 def scene_any_hit(scene: SceneData, o, d, t_max, active=None, group=None):
+    if scene.has_instances:
+        from ..geometry.instanced import any_hit_instanced
+
+        return any_hit_instanced(
+            scene.inst, o, d, t_max, scene.world_lo, scene.world_hi,
+            interpret=scene.traversal == "packets_interp", active=active,
+            group=group,
+        )
     if scene.traversal == "skiplink":
         from ..geometry.traverse import any_hit
 
@@ -274,6 +289,35 @@ def _uv_screen_derivatives(camera, p, p0, p1, p2, uv0, uv1, uv2):
     return solve(dpdx), solve(dpdy)
 
 
+def _face_decode(scene: SceneData, tri_raw):
+    """Hit-record tri id -> (attribute face index, instance id | None).
+
+    Instanced scenes return tri = world_treelet * TREELET + j
+    (geometry/instanced.py); the shared object-space attribute row is
+    ti_obj[wt] * TREELET + j. World-space reconstruction parity:
+    surface_interaction.jl:313-482."""
+    tri = jnp.maximum(tri_raw, 0)
+    if not scene.has_instances:
+        return tri, None
+    from ..geometry.wavefront import TREELET
+
+    wt = tri // TREELET
+    j = tri - wt * TREELET
+    obj = scene.inst.ti_obj[wt] * TREELET + j
+    return obj, scene.inst.ti_inst[wt]
+
+
+def _inst_xform_normal(scene: SceneData, inst, n_obj):
+    """Object->world normal transform (inverse-transpose rows)."""
+    m = scene.inst_nrm[inst]                     # (N, 3, 3)
+    return jnp.einsum("...ij,...j->...i", m, n_obj)
+
+
+def _inst_xform_point(scene: SceneData, inst, p_obj):
+    m = scene.inst_l2w[inst]                     # (N, 3, 4)
+    return jnp.einsum("...ij,...j->...i", m[..., :3], p_obj) + m[..., 3]
+
+
 def _surface_data(scene: SceneData, rec, o, d, camera=None):
     """Gather hit-point attributes. Returns dict of per-lane arrays.
 
@@ -284,13 +328,16 @@ def _surface_data(scene: SceneData, rec, o, d, camera=None):
     bind textures (static property)."""
     from ..textures.atlas import TexCtx
 
-    tri = jnp.maximum(rec.tri, 0)
+    tri, inst = _face_decode(scene, rec.tri)
     p_hit = o + rec.t[..., None] * d
     ng_raw = scene.ng_raw[tri]            # winding normal: points "outside"
     ns = normalize(
         interpolate(rec.b1, rec.b2, scene.n0[tri], scene.n1[tri], scene.n2[tri])
     )
     ns = jnp.where(jnp.sum(ns * ns, -1, keepdims=True) > 0.5, ns, ng_raw)
+    if inst is not None:
+        ng_raw = normalize(_inst_xform_normal(scene, inst, ng_raw))
+        ns = normalize(_inst_xform_normal(scene, inst, ns))
     ng = face_forward(ng_raw, ns)
 
     duvdx = duvdy = None
@@ -298,9 +345,15 @@ def _surface_data(scene: SceneData, rec, o, d, camera=None):
         uv = interpolate(rec.b1, rec.b2, scene.uv0[tri], scene.uv1[tri], scene.uv2[tri])
         vcol = interpolate(rec.b1, rec.b2, scene.c0[tri], scene.c1[tri], scene.c2[tri])
         if camera is not None:
+            q0 = scene.bvh.p0[tri]
+            q1 = scene.bvh.p1[tri]
+            q2 = scene.bvh.p2[tri]
+            if inst is not None:
+                q0 = _inst_xform_point(scene, inst, q0)
+                q1 = _inst_xform_point(scene, inst, q1)
+                q2 = _inst_xform_point(scene, inst, q2)
             duvdx, duvdy = _uv_screen_derivatives(
-                camera, p_hit, scene.bvh.p0[tri], scene.bvh.p1[tri],
-                scene.bvh.p2[tri],
+                camera, p_hit, q0, q1, q2,
                 scene.uv0[tri], scene.uv1[tri], scene.uv2[tri],
             )
     else:
@@ -308,6 +361,9 @@ def _surface_data(scene: SceneData, rec, o, d, camera=None):
         vcol = jnp.ones(tri.shape + (3,), jnp.float32)
 
     packed = scene.mat_packed[tri]
+    if inst is not None:
+        ov = scene.inst_mat_packed[inst]  # per-instance material override
+        packed = jnp.where(ov >= 0, ov, packed)
     mat_type = packed >> 24
     mat_idx = packed & 0xFFFFFF
     if mt.MIX in scene.present_materials:
@@ -367,25 +423,32 @@ def _crossing_medium(sd, direction):
     return jnp.where(entering_inside, sd["inside_med"], sd["outside_med"])
 
 
-ALPHA_ROUNDS = 4  # stochastic alpha re-trace cap (reference: 16, intersection.jl:223)
+ALPHA_ROUNDS = 16  # stochastic alpha re-trace cap (intersection.jl:223);
+# each round clears ONE rejected hit per lane, so any alpha stack deeper
+# than the cap would render opaque — tests/test_alpha_mix.py pins this
 
 
-def _alpha_keep(scene: SceneData, rec, u_salt: int = 0):
+def _alpha_keep(scene: SceneData, rec, p_hit, u_salt: int = 0):
     """Stochastic alpha test at a hit: keep with probability alpha, using a
-    deterministic hash of (tri, t) so the decision is stable per point
-    (stochastic alpha via hashed RNG, intersection.jl:223-252)."""
+    deterministic hash of the WORLD hit position + face id, so the decision
+    is stable per point yet independent across lanes (stochastic alpha via
+    hashed RNG, intersection.jl:223-252 — hashing t alone correlates every
+    lane of a parallel ray packet crossing a plane)."""
     from ..sampling.hashes import hash_u32x2
     from ..sampling import u64 as u64m
     from ..textures.atlas import TexCtx, eval_scalar
 
-    tri = jnp.maximum(rec.tri, 0)
+    tri, _ = _face_decode(scene, rec.tri)
     a = scene.alpha_const[tri]
     uv = interpolate(rec.b1, rec.b2, scene.uv0[tri], scene.uv1[tri], scene.uv2[tri])
     ctx = TexCtx(uv=uv, vcolor=jnp.ones(uv.shape[:-1] + (3,), jnp.float32))
     a = eval_scalar(scene.atlas, scene.alpha_tex[tri], a, ctx)
-    ht = jax.lax.bitcast_convert_type(rec.t, jnp.uint32)
+    hx = jax.lax.bitcast_convert_type(p_hit[..., 0], jnp.uint32)
+    hy = jax.lax.bitcast_convert_type(p_hit[..., 1], jnp.uint32)
+    hz = jax.lax.bitcast_convert_type(p_hit[..., 2], jnp.uint32)
     salt = (0x9E3779B9 * (u_salt + 1)) & 0xFFFFFFFF
-    h = hash_u32x2(ht, tri.astype(jnp.uint32) ^ jnp.uint32(salt))
+    h = hash_u32x2(hx ^ ((hy << 16) | (hy >> 16)),
+                   hz ^ tri.astype(jnp.uint32) ^ jnp.uint32(salt))
     u = u64m.to_u32(u64m.shr(h, 32)).astype(jnp.float32) * jnp.float32(2.3283064e-10)
     return (~rec.hit) | (u < a)
 
@@ -405,7 +468,7 @@ def _closest_hit_surface(scene: SceneData, o, d, t_max, active):
     t_off = jnp.zeros_like(rec.t)
     live = active  # lanes whose current rec still needs the alpha test
     for k in range(ALPHA_ROUNDS):
-        keep = _alpha_keep(scene, rec, u_salt=k)
+        keep = _alpha_keep(scene, rec, o_cur + rec.t[..., None] * d, u_salt=k)
         retrace = live & rec.hit & ~keep
         t_adv = rec.t + 1e-4
         o_new = jnp.where(retrace[..., None], o_cur + t_adv[..., None] * d, o_cur)
@@ -468,12 +531,17 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active,
             r_u_m = r_u_m * ru_seg
 
         hit_something = running & rec.hit
-        tri = jnp.maximum(rec.tri, 0)
-        is_interface = (scene.mat_packed[tri] >> 24) == mt.INTERFACE
+        tri, sh_inst = _face_decode(scene, rec.tri)
+        mp = scene.mat_packed[tri]
+        if sh_inst is not None:
+            ov = scene.inst_mat_packed[sh_inst]
+            mp = jnp.where(ov >= 0, ov, mp)
+        is_interface = (mp >> 24) == mt.INTERFACE
         passthrough = is_interface
         if scene.has_alpha:
             # alpha-failed occluders are transparent to shadow rays too
-            passthrough = passthrough | ~_alpha_keep(scene, rec, u_salt=7)
+            passthrough = passthrough | ~_alpha_keep(
+                scene, rec, o_cur + rec.t[..., None] * wi, u_salt=7)
         blocked = hit_something & ~passthrough
         T_ray = jnp.where(blocked[..., None], 0.0, T_ray)
 
@@ -481,6 +549,8 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active,
         # advance through the interface
         p_hit = o_cur + rec.t[..., None] * wi
         ng_raw = scene.ng_raw[tri]
+        if sh_inst is not None:
+            ng_raw = _inst_xform_normal(scene, sh_inst, ng_raw)
         entering_inside = jnp.sum(wi * ng_raw, -1) < 0.0
         medp = scene.med_packed[tri]
         new_med = jnp.where(entering_inside, (medp >> 16) - 1, (medp & 0xFFFF) - 1)
@@ -919,9 +989,16 @@ def render_lanes(
         mx > vp.max_component_value, vp.max_component_value / jnp.maximum(mx, 1e-12), 1.0
     )
     rgb = rgb * scale[..., None]
+    # the reference hard-asserts on non-finite radiance (@real_assert,
+    # Hikari.jl:55-62); we sanitize but COUNT, so bugs surface in stats
+    # instead of silently vanishing into black pixels
+    bad = ~jnp.all(jnp.isfinite(rgb), axis=-1)
     rgb = jnp.nan_to_num(rgb, nan=0.0, posinf=0.0, neginf=0.0)
 
-    return rgb, filter_w, {"rays_traced": rays_traced}
+    return rgb, filter_w, {
+        "rays_traced": rays_traced,
+        "nonfinite_lanes": jnp.sum(bad.astype(jnp.float32)),
+    }
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))

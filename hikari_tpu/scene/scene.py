@@ -35,7 +35,7 @@ def _face_normals(p0, p1, p2):
 @pytree_dataclass(
     static=(
         "present_materials", "n_lights", "n_faces", "has_media", "has_alpha",
-        "traversal", "light_sampler",
+        "has_instances", "traversal", "light_sampler",
     )
 )
 class SceneData:
@@ -63,6 +63,12 @@ class SceneData:
     alpha_const: jnp.ndarray    # (F,) surface alpha (1 = opaque)
     alpha_tex: jnp.ndarray      # (F,) int32 alpha texture ref; -1 const
     treelets: "Treelets"        # packet-traversal triangle blocks
+    # two-level instancing (geometry/instanced.py); dummy 1-instance tables
+    # for flat scenes (has_instances=False picks the flat path statically)
+    inst: "InstancedTreelets"
+    inst_nrm: jnp.ndarray       # (I, 3, 3) object->world normal transform
+    inst_l2w: jnp.ndarray       # (I, 3, 4) object->world [linear | translation]
+    inst_mat_packed: jnp.ndarray  # (I,) int32 material override; -1 = per-face
     materials: MaterialBanks
     atlas: "TextureAtlas"       # scene texture atlas (textures/atlas.py)
     media: MediumBanks
@@ -78,6 +84,7 @@ class SceneData:
     n_faces: int
     has_media: bool
     has_alpha: bool = False
+    has_instances: bool = False
     # 'packets' = sorted-packet Pallas engine (TPU); 'skiplink' = per-lane
     # BVH walk (CPU); 'packets_interp' = packet engine in interpreter mode
     traversal: str = "skiplink"
@@ -98,6 +105,9 @@ class Scene:
         self._lights: list = []
         self._camera_medium: int = -1
         self._light_sampler: str = "power"
+        # instanced entries: (mesh, transforms (I,4,4), mat_id,
+        #                     (in_med, out_med), alpha, per-inst mat ids|None)
+        self._instanced: list = []
 
     def set_light_sampler(self, mode: str) -> None:
         """'power' (default), 'uniform', or 'bvh' (adaptive BVH sampler,
@@ -134,6 +144,46 @@ class Scene:
         )
         self._mesh_alpha.append(alpha)
         return len(self._meshes) - 1
+
+    def _material_id(self, material) -> int:
+        try:
+            return self._materials.index(material)
+        except ValueError:
+            self._materials.append(material)
+            return len(self._materials) - 1
+
+    def add_instanced(self, mesh: TriangleMesh, transforms, material,
+                      inside_medium=None, outside_medium=None, alpha=None,
+                      materials=None) -> int:
+        """Add MANY placements of one mesh sharing a single BLAS (the
+        reference's Raycore TLAS/Instance layer, Hikari.jl:22-37): memory
+        scales with the unique mesh, not the instance count.
+
+        transforms: (I, 4, 4) world-from-object matrices.
+        materials: optional per-instance material list overriding
+        `material` (the Instance material-override slot)."""
+        tr = np.asarray(transforms, np.float32)
+        assert tr.ndim == 3 and tr.shape[1:] == (4, 4), tr.shape
+        mat_id = self._material_id(material)
+        per_inst = None
+        if materials is not None:
+            assert len(materials) == len(tr)
+            per_inst = [self._material_id(m) for m in materials]
+        self._instanced.append((
+            mesh, tr, mat_id,
+            (self._medium_id(inside_medium), self._medium_id(outside_medium)),
+            alpha, per_inst,
+        ))
+        return len(self._instanced) - 1
+
+    def set_instance_transforms(self, handle: int, transforms) -> None:
+        """Re-place a previously added instance group (the reference's
+        sync!-refit path for moving objects); takes effect at the next
+        build(), which reuses everything except the instance tables."""
+        mesh, _, mat_id, media, alpha, per_inst = self._instanced[handle]
+        tr = np.asarray(transforms, np.float32)
+        assert tr.ndim == 3 and tr.shape[1:] == (4, 4), tr.shape
+        self._instanced[handle] = (mesh, tr, mat_id, media, alpha, per_inst)
 
     def set_camera_medium(self, medium) -> None:
         """Medium the camera sits inside (reference detect_camera_medium,
@@ -185,6 +235,10 @@ class Scene:
                 "packets" if jax.default_backend() not in ("cpu",) else "skiplink"
             )
         assert traversal in ("packets", "skiplink", "packets_interp"), traversal
+        if self._instanced:
+            if traversal == "skiplink":  # no skip-link walk for instanced
+                traversal = "packets_interp"
+            return self._build_instanced(traversal)
         assert self._meshes, "scene has no geometry"
         p0s, p1s, p2s = [], [], []
         n0s, n1s, n2s = [], [], []
@@ -343,6 +397,10 @@ class Scene:
             alpha_const=jnp.asarray(alpha_const[order]),
             alpha_tex=jnp.asarray(alpha_tex[order]),
             treelets=build_treelets(p0[order], p1[order], p2[order]),
+            inst=_dummy_instanced(),
+            inst_nrm=jnp.eye(3, dtype=jnp.float32)[None],
+            inst_l2w=jnp.eye(4, dtype=jnp.float32)[:3][None],
+            inst_mat_packed=jnp.full((1,), -1, jnp.int32),
             materials=banks,
             atlas=atlas_builder.build(),
             media=pack_media(self._media),
@@ -361,3 +419,280 @@ class Scene:
             traversal=traversal,
             light_sampler=self._light_sampler,
         )
+
+
+def _dummy_instanced():
+    """1-entry InstancedTreelets placeholder for flat scenes (never hit)."""
+    from ..geometry.instanced import InstancedTreelets
+    from ..geometry.wavefront import TREELET
+
+    return InstancedTreelets(
+        lo=jnp.full((1, 3), 3.0e37, jnp.float32),
+        hi=jnp.full((1, 3), 3.0e37, jnp.float32),
+        bw=jnp.zeros((1, 24, 3 * TREELET), jnp.bfloat16),
+        ti_obj=jnp.zeros((1,), jnp.int32),
+        ti_inst=jnp.zeros((1,), jnp.int32),
+        inst_a=jnp.eye(4, dtype=jnp.float32)[None],
+    )
+
+
+def _mesh_face_arrays(mesh: TriangleMesh):
+    """Object-space per-face corner arrays (transform baked if present)."""
+    v = mesh.vertices
+    if mesh.transform is not None:
+        m = np.asarray(mesh.transform, np.float32)
+        v = v @ m[:3, :3].T + m[:3, 3]
+    f = mesh.faces
+    n = mesh.normals
+    if n is None:
+        n = compute_vertex_normals(v, f)
+    elif mesh.transform is not None:
+        inv_t = np.linalg.inv(m[:3, :3]).T
+        n = n @ inv_t.T
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    uv = mesh.uvs if mesh.uvs is not None else np.zeros((len(v), 2), np.float32)
+    c = mesh.colors if mesh.colors is not None else np.ones((len(v), 3), np.float32)
+    return dict(
+        p0=v[f[:, 0]].astype(np.float32), p1=v[f[:, 1]].astype(np.float32),
+        p2=v[f[:, 2]].astype(np.float32),
+        n0=n[f[:, 0]].astype(np.float32), n1=n[f[:, 1]].astype(np.float32),
+        n2=n[f[:, 2]].astype(np.float32),
+        uv0=uv[f[:, 0]].astype(np.float32), uv1=uv[f[:, 1]].astype(np.float32),
+        uv2=uv[f[:, 2]].astype(np.float32),
+        c0=c[f[:, 0]].astype(np.float32), c1=c[f[:, 1]].astype(np.float32),
+        c2=c[f[:, 2]].astype(np.float32),
+    )
+
+
+def _pad_blas(arrs: dict, extras: dict, tt: int):
+    """Pad a BLAS's leaf-ordered face arrays to a TREELET multiple.
+    Geometry pads with far-away degenerate corners (never hit); attribute
+    pads are zeros / -1."""
+    n = len(arrs["p0"])
+    pad = (-n) % tt
+    if pad == 0:
+        return arrs, extras
+    out = {}
+    for k, a in arrs.items():
+        if k in ("p0", "p1", "p2"):
+            fill = np.full((pad, 3), 3.0e37, np.float32)
+        else:
+            fill = np.zeros((pad,) + a.shape[1:], a.dtype)
+        out[k] = np.concatenate([a, fill])
+    ex = {}
+    for k, a in extras.items():
+        fill_val = -1 if a.dtype == np.int32 else 0
+        ex[k] = np.concatenate([a, np.full((pad,) + a.shape[1:], fill_val, a.dtype)])
+    return out, ex
+
+
+def _build_instanced_scene(self, traversal: str) -> SceneData:
+    """Two-level build: one BLAS per unique mesh + instance tables
+    (Raycore TLAS analog; geometry/instanced.py)."""
+    from ..geometry.instanced import build_instanced_treelets
+    from ..geometry.wavefront import TREELET
+    from ..textures.atlas import ImageTexture
+
+    assert traversal != "skiplink", (
+        "instanced scenes use the packet engine; pass traversal='packets' "
+        "or 'packets_interp'"
+    )
+
+    atlas_builder = AtlasBuilder()
+    banks, tags, idxs, present = pack_materials(self._materials, atlas_builder)
+    packed_of = (tags.astype(np.int32) << 24) | idxs.astype(np.int32)
+
+    for mesh, tr, mat_id, media, alpha, per_inst in self._instanced:
+        bad = [mat_id] + (per_inst or [])
+        for mid in bad:
+            assert tags[mid] != EMISSIVE, (
+                "emissive materials on instanced meshes are not supported "
+                "(the reference registers one DiffuseAreaLight per emissive "
+                "face; instance that mesh flattened instead)"
+            )
+
+    blas_tris = []       # list of (p0, p1, p2) leaf-ordered, TT-padded
+    attr_chunks = []     # per-BLAS dict of padded attribute arrays
+    instances = []       # (blas_id, world_from_object)
+    inst_mat = []        # per-instance material override packed word; -1
+    inst_alpha = []      # kept per-face below; placeholder
+
+    def finish_blas(arrs, extras):
+        tri_lo = np.minimum(np.minimum(arrs["p0"], arrs["p1"]), arrs["p2"])
+        tri_hi = np.maximum(np.maximum(arrs["p0"], arrs["p1"]), arrs["p2"])
+        fb = build_bvh(tri_lo, tri_hi)
+        o = fb.prim_order
+        arrs = {k: a[o] for k, a in arrs.items()}
+        extras = {k: a[o] for k, a in extras.items()}
+        arrs, extras = _pad_blas(arrs, extras, TREELET)
+        blas_tris.append((arrs["p0"], arrs["p1"], arrs["p2"]))
+        attr_chunks.append((arrs, extras))
+        return len(blas_tris) - 1
+
+    # BLAS 0: all non-instanced meshes, flattened (identity instance)
+    arealight_faces = None
+    if self._meshes:
+        parts = []
+        ex_parts = []
+        for mesh, mat_id, (in_med, out_med), alpha in zip(
+            self._meshes, self._mesh_mat, self._mesh_media, self._mesh_alpha
+        ):
+            a = _mesh_face_arrays(mesh)
+            nf = len(a["p0"])
+            if isinstance(alpha, ImageTexture):
+                al_c = np.ones(nf, np.float32)
+                al_t = np.full(nf, atlas_builder.add(alpha), np.int32)
+            else:
+                al_c = np.full(nf, 1.0 if alpha is None else float(alpha), np.float32)
+                al_t = np.full(nf, -1, np.int32)
+            ex = dict(
+                mat_packed=np.full(nf, packed_of[mat_id], np.int32),
+                med_packed=np.full(
+                    nf, ((in_med + 1) << 16) | (out_med + 1), np.int32),
+                alpha_const=al_c, alpha_tex=al_t,
+                mat_slot=np.full(nf, mat_id, np.int32),
+            )
+            parts.append(a)
+            ex_parts.append(ex)
+        arrs = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+        extras = {k: np.concatenate([e[k] for e in ex_parts]) for k in ex_parts[0]}
+        bid = finish_blas(arrs, extras)
+        instances.append((bid, np.eye(4, dtype=np.float32)))
+        inst_mat.append(-1)
+
+    for mesh, tr, mat_id, (in_med, out_med), alpha, per_inst in self._instanced:
+        a = _mesh_face_arrays(mesh)
+        nf = len(a["p0"])
+        if isinstance(alpha, ImageTexture):
+            al_c = np.ones(nf, np.float32)
+            al_t = np.full(nf, atlas_builder.add(alpha), np.int32)
+        else:
+            al_c = np.full(nf, 1.0 if alpha is None else float(alpha), np.float32)
+            al_t = np.full(nf, -1, np.int32)
+        ex = dict(
+            mat_packed=np.full(nf, packed_of[mat_id], np.int32),
+            med_packed=np.full(nf, ((in_med + 1) << 16) | (out_med + 1), np.int32),
+            alpha_const=al_c, alpha_tex=al_t,
+            mat_slot=np.full(nf, mat_id, np.int32),
+        )
+        bid = finish_blas(a, ex)
+        for k, m in enumerate(tr):
+            instances.append((bid, m))
+            inst_mat.append(
+                int(packed_of[per_inst[k]]) if per_inst is not None else -1)
+
+    inst_tl = build_instanced_treelets(blas_tris, instances)
+
+    # concatenated padded attribute arrays (object space, BLAS order)
+    def cat(key, which=0):
+        return np.concatenate([c[which][key] for c in attr_chunks])
+
+    p0 = cat("p0"); p1 = cat("p1"); p2 = cat("p2")
+    face_packed = cat("mat_packed", 1)
+    face_type = face_packed >> 24
+    face_idx = face_packed & 0xFFFFFF
+    med_packed = cat("med_packed", 1)
+    alpha_const = cat("alpha_const", 1)
+    alpha_tex = cat("alpha_tex", 1)
+    has_alpha = bool((alpha_tex >= 0).any() or (alpha_const < 1.0).any())
+    for t in np.unique(face_type):
+        present.add(int(t))
+
+    # area lights: only BLAS-0 (identity) emissive faces
+    arealight_idx = np.full(len(p0), -1, np.int32)
+    area_tris = None
+    emissive_mask = (face_type == EMISSIVE) & (p0[:, 0] < 1.0e37)
+    if emissive_mask.any():
+        which = np.nonzero(emissive_mask)[0]
+        mat_slot = cat("mat_slot", 1)
+        arealight_idx[which] = np.arange(len(which), dtype=np.int32)
+
+        def baked_le(mat):
+            le = mat.le
+            if isinstance(le, ImageTexture):
+                le = np.asarray(le.image, np.float32).reshape(-1, 3).mean(0)
+            return np.asarray(le, np.float32) * mat.scale
+
+        a_le = np.stack([baked_le(self._materials[mat_slot[i]]) for i in which])
+        a_two = np.array(
+            [self._materials[mat_slot[i]].two_sided for i in which], bool)
+        area_tris = (p0[which], p1[which], p2[which], a_le, a_two)
+
+    finite = np.asarray(inst_tl.lo)[:, 0] < 1.0e37
+    world_lo = np.asarray(inst_tl.lo)[finite].min(axis=0)
+    world_hi = np.asarray(inst_tl.hi)[finite].max(axis=0)
+    radius = 0.5 * float(np.linalg.norm(world_hi - world_lo))
+
+    lights = pack_lights(
+        self._lights, area_tris, scene_radius=max(radius, 1e-3),
+        sampler="power" if self._light_sampler == "bvh" else self._light_sampler,
+    )
+    from ..lights.bvh_sampler import build_light_bvh
+
+    light_bvh = build_light_bvh(lights)
+
+    # skip-link stub: the instanced path never walks it, but the pytree
+    # field carries the object-space corner arrays for texture derivatives
+    bvh = DeviceBVH(
+        lo=jnp.asarray(world_lo[None]), hi=jnp.asarray(world_hi[None]),
+        first=jnp.zeros((1,), jnp.int32), count=jnp.zeros((1,), jnp.int32),
+        skip=jnp.ones((1,), jnp.int32),
+        p0=jnp.asarray(p0), p1=jnp.asarray(p1), p2=jnp.asarray(p2),
+    )
+
+    # per-instance transforms for shading
+    mats44 = np.stack([m for _, m in instances]).astype(np.float64)
+    inv_lin = np.stack([np.linalg.inv(m[:3, :3]) for m in mats44])
+    inst_nrm = np.transpose(inv_lin, (0, 2, 1)).astype(np.float32)  # inv^T
+    inst_l2w = mats44[:, :3, :4].astype(np.float32)
+
+    ng_raw = _face_normals(p0, p1, p2)
+
+    return SceneData(
+        bvh=bvh,
+        n0=jnp.asarray(cat("n0")), n1=jnp.asarray(cat("n1")),
+        n2=jnp.asarray(cat("n2")),
+        uv0=jnp.asarray(cat("uv0")), uv1=jnp.asarray(cat("uv1")),
+        uv2=jnp.asarray(cat("uv2")),
+        c0=jnp.asarray(cat("c0")), c1=jnp.asarray(cat("c1")),
+        c2=jnp.asarray(cat("c2")),
+        mat_type=jnp.asarray(face_type),
+        mat_idx=jnp.asarray(face_idx),
+        mat_packed=jnp.asarray(face_packed),
+        med_packed=jnp.asarray(med_packed),
+        ng_raw=jnp.asarray(ng_raw),
+        arealight_idx=jnp.asarray(arealight_idx),
+        inside_medium=jnp.asarray((med_packed >> 16) - 1),
+        outside_medium=jnp.asarray((med_packed & 0xFFFF) - 1),
+        alpha_const=jnp.asarray(alpha_const),
+        alpha_tex=jnp.asarray(alpha_tex),
+        treelets=Treelets(
+            lo=jnp.full((1, 3), 3.0e37), hi=jnp.full((1, 3), 3.0e37),
+            bw=jnp.zeros((1, 24, 3 * TREELET), jnp.bfloat16),
+        ),
+        inst=inst_tl,
+        inst_nrm=jnp.asarray(inst_nrm),
+        inst_l2w=jnp.asarray(inst_l2w),
+        inst_mat_packed=jnp.asarray(np.asarray(inst_mat, np.int32)),
+        materials=banks,
+        atlas=atlas_builder.build(),
+        media=pack_media(self._media),
+        camera_medium=jnp.int32(self._camera_medium),
+        lights=lights,
+        light_bvh=light_bvh,
+        rgb2spec=srgb_table(),
+        world_lo=jnp.asarray(world_lo.astype(np.float32)),
+        world_hi=jnp.asarray(world_hi.astype(np.float32)),
+        scene_radius=jnp.float32(max(radius, 1e-3)),
+        present_materials=tuple(sorted(present)),
+        n_lights=lights.n_flat,
+        n_faces=int(len(p0)),
+        has_media=len(self._media) > 0,
+        has_alpha=has_alpha,
+        has_instances=True,
+        traversal=traversal if traversal != "auto" else "packets",
+        light_sampler=self._light_sampler,
+    )
+
+
+Scene._build_instanced = _build_instanced_scene

@@ -68,3 +68,82 @@ def test_mix_texture_amount():
     blue_side, red_side = sides[0], sides[1]
     assert red_side[0] > 2.0 * red_side[1], sides
     assert blue_side[1] > 2.0 * blue_side[0], sides
+
+
+def test_alpha_stack_transmission_stress():
+    """Dense alpha 'foliage': 8 stacked alpha=0.3 quads. Each alpha round
+    clears one rejected hit, so a cap below the stack depth renders the
+    stack opaque; with the reference's 16 rounds (intersection.jl:223) the
+    escape fraction must track alpha-compositing: P(escape)=0.7^8~5.8%."""
+    import numpy as np
+    from hikari_tpu.integrators.volpath import _closest_hit_surface
+    from hikari_tpu.materials.types import Matte
+    from hikari_tpu.scene.mesh import make_quad
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    alpha = 0.3
+    n_layers = 8
+    for i in range(n_layers):
+        z = 1.0 + 0.1 * i
+        s.add(make_quad((-5, -5, z), (5, -5, z), (5, 5, z), (-5, 5, z)),
+              Matte(), alpha=alpha)
+    scene = s.build()
+
+    n = 8192
+    rng = np.random.RandomState(0)
+    o = np.zeros((n, 3), np.float32)
+    o[:, :2] = rng.uniform(-3, 3, (n, 2))
+    o = jnp.asarray(o)
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    t_max = jnp.full((n,), jnp.inf)
+    rec = _closest_hit_surface(scene, o, d, t_max,
+                             active=jnp.ones((n,), bool))
+    escape = 1.0 - float(np.asarray(rec.hit).mean())
+    expect = (1.0 - alpha) ** n_layers  # ~0.0576
+    assert abs(escape - expect) < 0.35 * expect + 0.01, (escape, expect)
+
+
+def test_shadow_through_nine_interfaces_finds_blocker():
+    """9 pure-interface boundaries followed by an opaque pane: the shadow
+    chain (cap 10, intersection.jl:302-563) must still find the blocker —
+    a shorter cap would leak light."""
+    import numpy as np
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import VolPath, render
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import Interface, Matte
+    from hikari_tpu.media.types import HomogeneousMedium
+    from hikari_tpu.scene.mesh import make_quad
+    from hikari_tpu.scene.scene import Scene
+
+    def build(with_blocker):
+        s = Scene()
+        # floor receiving the light
+        s.add(make_quad((-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)),
+              Matte(kd=(0.8, 0.8, 0.8)))
+        # a wisp of medium so the interface shadow path is exercised
+        wisp = HomogeneousMedium(sigma_a=(1e-6,) * 3, sigma_s=(1e-6,) * 3)
+        for i in range(9):
+            y = 0.5 + 0.12 * i
+            s.add(make_quad((-2, y, -2), (2, y, -2), (2, y, 2), (-2, y, 2)),
+                  Interface(), inside_medium=wisp)
+        if with_blocker:
+            y = 1.7
+            s.add(make_quad((-2, y, -2), (2, y, -2), (2, y, 2), (-2, y, 2)),
+                  Matte(kd=(0.1, 0.1, 0.1)))
+        s.add_light(PointLight(position=(0.0, 2.5, 0.0), intensity=(20, 20, 20)))
+        return s.build()
+
+    cam = make_perspective_camera((0, 1.2, -3.0), (0, 0.2, 0), (24, 24), fov_deg=40.0)
+    vp = VolPath(max_depth=2, samples_per_pixel=8)
+    img_open = np.asarray(framebuffer(render(vp, build(False), cam)))
+    img_blocked = np.asarray(framebuffer(render(vp, build(True), cam)))
+    floor_open = img_open[12:22].mean()
+    floor_blocked = img_blocked[12:22].mean()
+    assert floor_open > 0.02, floor_open
+    # the blocker sits between the light and the floor behind 9 interfaces;
+    # direct light on the floor must collapse (only the blocker's own
+    # bounce light remains)
+    assert floor_blocked < 0.35 * floor_open, (floor_open, floor_blocked)

@@ -134,3 +134,45 @@ def test_cloud_volume_render():
     img = np.asarray(framebuffer(render(VolPath(max_depth=6, samples_per_pixel=4), scene, cam)))
     assert np.isfinite(img).all()
     assert img.max() > 0.01
+
+
+def test_thick_medium_transmittance_accuracy():
+    """Optically thick absorbing grid: delta tracking inside
+    MAX_TRACK_STEPS must reproduce exp(-tau) (no step-cap truncation bias)
+    at tau=8, and tau=50 must be fully extinguished."""
+    import numpy as np
+    from hikari_tpu.media import sample as ms
+    from hikari_tpu.media.types import GridMedium, pack_media
+    from hikari_tpu.spectral.rgb2spec import srgb_table
+
+    def transmit(tau):
+        # uniform density grid, absorption only
+        dens = np.ones((8, 8, 8), np.float32)
+        gm = GridMedium(density=dens, bounds_lo=(0, 0, 0), bounds_hi=(1, 1, 1),
+                        sigma_a=(tau, tau, tau), sigma_s=(0.0,) * 3)
+        banks = pack_media([gm])
+        n = 4096
+        o = np.zeros((n, 3), np.float32)
+        rs = np.random.RandomState(1)
+        o[:, 0] = rs.uniform(0.05, 0.95, n)
+        o[:, 1] = rs.uniform(0.05, 0.95, n)
+        o[:, 2] = -0.5
+        o = jnp.asarray(o)
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        t_hit = jnp.full((n,), 2.0)
+        lam = jnp.tile(jnp.asarray([[480.0, 530.0, 590.0, 650.0]]), (n, 1))
+        ones4 = jnp.ones((n, 4))
+        med = jnp.zeros((n,), jnp.int32)
+        active = jnp.ones((n,), bool)
+        dt = ms.delta_track(banks, srgb_table(), med, o, d, t_hit, lam,
+                            ones4, ones4, ones4, active,
+                            max_depth_hit=jnp.zeros((n,), bool))
+        # lanes that were not absorbed reached the far side
+        through = np.asarray(dt.status) != ms.ABSORBED
+        return through.mean()
+
+    t8 = transmit(8.0)
+    expect8 = np.exp(-8.0)
+    assert abs(t8 - expect8) < 5e-3 + 0.5 * expect8, (t8, expect8)
+    t50 = transmit(50.0)
+    assert t50 < 1e-3, t50
