@@ -65,22 +65,45 @@ def run(res_px: int, n_iters: int):
 
     import os
 
-    # BENCH_SCENE selects a BASELINE.md config: 'default' = the mesh-heavy
-    # cat-scene stand-in; 'fog' = the homogeneous-medium Cornell
+    # BENCH_SCENE selects a BASELINE.md config:
+    #   default  - mesh-heavy cat-scene stand-in (33k tris, 3 lights)
+    #   fog      - homogeneous-medium Cornell (medium_example)
+    #   triangle - single triangle (single_triangle_test.jl)
+    #   sphere   - glass+gold spheres on a plane under a Hosek-Wilkie sky
+    #              (README quickstart / sphere_normals_test.jl)
+    #   cloud    - BOMEX-class procedural cloud, g=0.877, depth 32
+    #              (bomex_cloud_example.jl stand-in)
     which = os.environ.get("BENCH_SCENE", "default")
     res = (res_px, res_px)
+    depth = 5
     if which == "fog":
         scene = build_fog_scene()
         camera = make_perspective_camera(
             (0.0, 1.0, -2.6), (0.0, 1.0, 1.0), res, fov_deg=50.0
         )
+    elif which == "triangle":
+        scene = build_triangle_scene()
+        camera = make_perspective_camera(
+            (0.0, 0.3, -2.2), (0.0, 0.3, 0.0), res, fov_deg=45.0
+        )
+    elif which == "sphere":
+        scene = build_sphere_scene()
+        camera = make_perspective_camera(
+            (0.0, 1.0, -3.2), (0.0, 0.5, 0.0), res, fov_deg=45.0
+        )
+    elif which == "cloud":
+        scene = build_cloud_scene()
+        camera = make_perspective_camera(
+            (0.0, 0.7, -3.0), (0.0, 0.9, 0.0), res, fov_deg=50.0
+        )
+        depth = 32
     else:
         scene = build_scene()
         camera = make_perspective_camera(
             (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
         )
     filt = make_filter()
-    vp = VolPath(max_depth=5, samples_per_pixel=256)
+    vp = VolPath(max_depth=depth, samples_per_pixel=256)
 
     w, h = res
     lanes = jnp.arange(w * h, dtype=jnp.uint32)
@@ -109,13 +132,15 @@ def run(res_px: int, n_iters: int):
         total_rays = float(np.asarray(rays))  # syncs the whole chain
         float(np.asarray(acc))
         dt = time.perf_counter() - t0
-        return total_rays / dt / 1e6
+        return total_rays / dt / 1e6, dt / n_iters
 
     # median of 3 repetitions: the tunnel/TPU showed 3x run-to-run swings
     # (4.87 vs 2.33 vs 1.51 Mray/s on identical code); median-of-N plus the
     # reported spread makes regressions distinguishable from machine noise
-    reps = sorted(timed_rep(k) for k in range(3))
-    return reps[1], (reps[0], reps[-1])
+    out = [timed_rep(k) for k in range(3)]
+    reps = sorted(r[0] for r in out)
+    spp_secs = sorted(r[1] for r in out)
+    return reps[1], (reps[0], reps[-1]), spp_secs[1]
 
 
 def build_fog_scene():
@@ -143,6 +168,67 @@ def build_fog_scene():
     return s.build()
 
 
+def build_triangle_scene():
+    """Single triangle (BASELINE.md: single_triangle_test.jl)."""
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import Matte
+    from hikari_tpu.scene.mesh import TriangleMesh
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    v = np.asarray([[-0.8, -0.4, 0.0], [0.8, -0.4, 0.0], [0.0, 0.9, 0.0]],
+                   np.float32)
+    s.add(TriangleMesh(vertices=v, faces=np.asarray([[0, 1, 2]], np.int32)),
+          Matte(kd=(0.7, 0.3, 0.2)))
+    s.add_light(PointLight(position=(0.0, 1.0, -2.0), intensity=(10.0,) * 3))
+    return s.build()
+
+
+def build_sphere_scene():
+    """Glass + gold spheres on a plane under a Hosek-Wilkie sky
+    (BASELINE.md: README quickstart / sphere_normals_test.jl)."""
+    from hikari_tpu.lights.sunsky import sunsky_environment
+    from hikari_tpu.materials.types import Glass, Gold, Matte
+    from hikari_tpu.scene.mesh import make_quad, make_sphere
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    s.add(make_quad((-6, 0, -6), (6, 0, -6), (6, 0, 6), (-6, 0, 6)),
+          Matte(kd=(0.55, 0.55, 0.55)))
+    s.add(make_sphere((-0.7, 0.55, 0.2), 0.55, 24, 48), Glass(eta=1.5))
+    s.add(make_sphere((0.7, 0.5, -0.2), 0.5, 24, 48), Gold(roughness=0.1))
+    env, sun = sunsky_environment(direction=(0.4, 0.35, 0.6))
+    s.add_light(env)
+    s.add_light(sun)
+    return s.build()
+
+
+def build_cloud_scene():
+    """BOMEX-class procedural cloud (BASELINE.md: bomex_cloud_example.jl
+    stand-in; the real LES asset is not redistributable): anisotropic
+    g=0.877 scattering, sun+sky, depth 32."""
+    from hikari_tpu.lights.sunsky import sunsky_environment
+    from hikari_tpu.materials.types import Interface, Matte
+    from hikari_tpu.media.types import CloudVolume
+    from hikari_tpu.scene.mesh import make_box, make_quad
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    s.add(make_quad((-8, -0.5, -8), (8, -0.5, -8), (8, -0.5, 8), (-8, -0.5, 8)),
+          Matte(kd=(0.3, 0.35, 0.4)))
+    cloud = CloudVolume(
+        resolution=64, bounds_lo=(-1.6, 0.1, -1.2),
+        bounds_hi=(1.6, 1.8, 1.2), sigma_s=(60.0,) * 3, sigma_a=(0.4,) * 3,
+        g=0.877,
+    )
+    s.add(make_box((-1.6, 0.1, -1.2), (1.6, 1.8, 1.2)), Interface(),
+          inside_medium=cloud)
+    env, sun = sunsky_environment(direction=(0.5, 0.45, 0.3))
+    s.add_light(env)
+    s.add_light(sun)
+    return s.build()
+
+
 def main():
     import os
 
@@ -152,13 +238,14 @@ def main():
     # device faults at extreme program sizes fall back to smaller configs
     # so the driver always records a number
     spread = (0.0, 0.0)
+    spp_sec = 0.0
     for res_try, it_try in ((res, iters), (res // 2, max(iters // 2, 2)),
                             (256, 2)):
         try:
-            mrays, spread = run(res_try, it_try)
+            mrays, spread, spp_sec = run(res_try, it_try)
             break
         except Exception as e:  # pragma: no cover - device-fault path
-            print(f"bench config {res_try}px failed: {type(e).__name__}",
+            print(f"bench config {res_try}px failed: {type(e).__name__}: {e}",
                   flush=True)
             mrays = 0.0
     print(
@@ -170,6 +257,9 @@ def main():
                 "vs_baseline": round(mrays / baseline, 4),
                 "spread_min": round(spread[0], 3),
                 "spread_max": round(spread[1], 3),
+                # BASELINE.md's second metric: projected wall-clock to
+                # 256 spp at the benched resolution
+                "wallclock_256spp_s": round(256.0 * spp_sec, 1),
             }
         )
     )

@@ -51,10 +51,12 @@ from .lights.sunsky import sunsky_environment
 
 # media
 from .media.types import (
-    CloudVolume, Fog, GridMedium, HomogeneousMedium, Milk, RGBGridMedium,
-    Smoke, medium_preset,
+    BrickGridMedium, CloudVolume, Fog, GridMedium, HomogeneousMedium, Milk,
+    RGBGridMedium, Smoke, medium_preset,
 )
-from .media.nanovdb import load_nanovdb, nanovdb_medium, save_nanovdb
+from .media.nanovdb import (
+    load_nanovdb, load_nanovdb_sparse, nanovdb_medium, save_nanovdb,
+)
 from .media.noise import fbm3d, generate_cloud_density, perlin3d, worley3d
 
 # cameras

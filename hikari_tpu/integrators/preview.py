@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..camera.camera import CameraSample, PerspectiveCamera
 from ..core.ray import spawn_ray
-from ..core.vecmath import dot, normalize, reflect
+from ..core.vecmath import dot, normalize, reflect, refract
 from ..film.film import Film, film_add_sample, make_film
 from ..lights import types as lt
 from ..materials import types as mt
@@ -122,7 +122,16 @@ def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         is_emit = hit & (sd["mat_type"] == mt.EMISSIVE)
         rgb = rgb + jnp.where(is_emit[..., None], tint * albedo * 5.0, 0.0)
 
-        spec = _is_specular_type(sd["mat_type"])
+        # smooth conductors join the specular set with Fresnel-tinted
+        # mirror bounces (reference Whitted shades through the full RGB
+        # BSDF system incl. conductor Fresnel, material.jl:22-180)
+        b = scene.materials
+        idx = jnp.maximum(sd["mat_idx"], 0)
+        is_cond = sd["mat_type"] == mt.CONDUCTOR
+        cond_smooth = is_cond & (
+            jnp.maximum(b.cond_ax[idx], b.cond_ay[idx]) < 0.01
+        )
+        spec = _is_specular_type(sd["mat_type"]) | cond_smooth
         diffuse_hit = hit & ~spec & ~is_emit
         u2 = jnp.stack(sb.path_sample_2d(zcfg, px, py,
                                          jnp.broadcast_to(sample_idx, (n,)),
@@ -130,12 +139,49 @@ def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         direct = _direct_light_rgb(scene, sd["p"], sd["ns"], albedo, u2, diffuse_hit)
         rgb = rgb + tint * direct
 
-        # continue only on specular hits: mirror reflection
+        # specular continuation with real Fresnel physics
+        # (material.jl specular_bounce: reflection vs refraction split)
+        from ..materials.fresnel import fresnel_dielectric
+
+        wo = -d
+        ci = jnp.maximum(dot(sd["ns"], wo), 1e-6)
+        entering = dot(d, sd["ng_raw"]) < 0.0
+        is_glass = sd["mat_type"] == mt.GLASS
+        is_thin = sd["mat_type"] == mt.THIN_DIELECTRIC
+        eta_mat = jnp.where(is_thin, b.thin_eta[idx], b.glass_eta[idx])
+        eta_rel = jnp.where(entering | is_thin, eta_mat, 1.0 / eta_mat)
+        F = fresnel_dielectric(ci, eta_rel)
+        # thin surface: interreflection-summed reflectance (R' = 2F/(1+F))
+        F = jnp.where(is_thin, 2.0 * F / (1.0 + F), F)
+        ok_t, wt = refract(wo, sd["ns"], eta_rel)
+        u_spec = sb.path_sample_1d(
+            zcfg, px, py, jnp.broadcast_to(sample_idx, (n,)), depth, 2)
+        # one-sample Fresnel-weighted branch selection keeps the wavefront
+        # dense (the reference's recursion follows both branches; picking
+        # with probability F has the same expectation)
+        choose_refl = (u_spec < F) | (~ok_t & ~is_thin)
+        refl_only = (sd["mat_type"] == mt.MIRROR) | cond_smooth
+        choose_refl = choose_refl | refl_only
+
+        wi_r = reflect(wo, sd["ns"])
+        wi_t = jnp.where(is_thin[..., None], d, wt)  # thin: passes straight
+        wi = jnp.where(choose_refl[..., None], wi_r, wi_t)
+
+        # per-branch tint: mirror/conductor albedo (conductor gets a
+        # Schlick-Fresnel curve on its normal-incidence color), glass kr/kt
+        schlick = albedo + (1.0 - albedo) * ((1.0 - ci) ** 5)[..., None]
+        tint_refl = jnp.where(
+            cond_smooth[..., None], schlick,
+            jnp.where(is_glass[..., None], b.glass_kr[idx],
+                      jnp.where(is_thin[..., None], b.thin_kr[idx], albedo)),
+        )
+        tint_trans = jnp.where(is_thin[..., None], b.thin_kt[idx], b.glass_kt[idx])
+        t_mul = jnp.where(choose_refl[..., None], tint_refl, tint_trans)
+
         cont = hit & spec
-        wi = reflect(-d, sd["ns"])
         o = jnp.where(cont[..., None], spawn_ray(sd["p"], sd["ng"], wi), o)
         d = jnp.where(cont[..., None], wi, d)
-        tint = jnp.where(cont[..., None], tint * jnp.clip(albedo, 0.0, 1.0), tint)
+        tint = jnp.where(cont[..., None], tint * jnp.clip(t_mul, 0.0, 1.0), tint)
         alive = cont
 
     return rgb

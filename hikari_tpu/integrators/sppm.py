@@ -38,7 +38,10 @@ from ..scene.scene import SceneData
 from .preview import _direct_light_rgb, _is_specular_type
 from .volpath import _albedo_rgb_dispatch, _surface_data, scene_closest_hit
 
-MAX_PER_CELL = 32  # photon budget a visible point reads per neighbor cell
+MAX_PER_CELL = 64  # photon budget a visible point reads per neighbor cell
+# cells holding more photons than the budget are handled by reading a
+# random subset (sort order within a cell is arbitrary) and scaling by
+# count/budget — unbiased, unlike silent truncation
 
 
 @dataclass(frozen=True)
@@ -175,19 +178,48 @@ def _trace_photons(scene, zcfg, it, n_photons, max_depth, key):
             dep_n.append(ns)
             dep_ok.append(diffuse)
 
-        # continue: diffuse bounce (cosine) or specular reflection
+        # continue: diffuse bounce (cosine) or BSDF-driven specular
+        # transport — glass photons take the Fresnel reflect/refract split
+        # so refractive caustics form (reference SPPM traces photons
+        # through the full RGB BSDF system, sppm.jl:1-550)
         u2 = jax.random.uniform(jax.random.fold_in(kp, 10 + depth), (n_photons, 2))
         u_rr = jax.random.uniform(jax.random.fold_in(kp, 40 + depth), (n_photons,))
+        u_fr = jax.random.uniform(jax.random.fold_in(kp, 70 + depth), (n_photons,))
         t, b, nrm = make_frame(ns)
         wi_d = to_world(t, b, nrm, cosine_sample_hemisphere(u2))
-        from ..core.vecmath import reflect
+        from ..core.vecmath import reflect, refract
+        from ..materials.fresnel import fresnel_dielectric
 
-        wi_s = reflect(-d, ns)
+        bm = scene.materials
+        midx = jnp.maximum(sd["mat_idx"], 0)
+        wo = -d
+        ci = jnp.maximum(dot(ns, wo), 1e-6)
+        entering = dot(d, sd["ng_raw"]) < 0.0
+        is_glass = sd["mat_type"] == mt.GLASS
+        is_thin = sd["mat_type"] == mt.THIN_DIELECTRIC
+        eta_mat = jnp.where(is_thin, bm.thin_eta[midx], bm.glass_eta[midx])
+        eta_rel = jnp.where(entering | is_thin, eta_mat, 1.0 / eta_mat)
+        F = fresnel_dielectric(ci, eta_rel)
+        F = jnp.where(is_thin, 2.0 * F / (1.0 + F), F)
+        ok_t, wt = refract(wo, ns, eta_rel)
+        choose_refl = (u_fr < F) | (~ok_t & ~is_thin) | ~(is_glass | is_thin)
+        wi_s = jnp.where(
+            choose_refl[..., None], reflect(wo, ns),
+            jnp.where(is_thin[..., None], d, wt),
+        )
+        spec_tint = jnp.where(
+            (is_glass | is_thin)[..., None],
+            jnp.where(choose_refl[..., None],
+                      jnp.where(is_thin[..., None], bm.thin_kr[midx], bm.glass_kr[midx]),
+                      jnp.where(is_thin[..., None], bm.thin_kt[midx], bm.glass_kt[midx])),
+            albedo,
+        )
         wi = jnp.where(spec[..., None], wi_s, wi_d)
         # RR on albedo luminance
         q = jnp.clip(albedo.mean(-1), 0.05, 1.0)
         survive = u_rr < q
-        power = power * albedo / jnp.maximum(q, 1e-6)[..., None]
+        thr = jnp.where(spec[..., None], jnp.clip(spec_tint, 0.0, 1.0), albedo)
+        power = power * thr / jnp.maximum(q, 1e-6)[..., None]
         o = jnp.where(hit[..., None], spawn_ray(sd["p"], sd["ng"], wi), o)
         d = jnp.where(hit[..., None], wi, d)
         alive = hit & survive
@@ -228,13 +260,17 @@ def _gather(vp_p, vp_ns, vp_valid, r2, ph_p, ph_pow, ph_n, ph_ok,
         nc = jnp.clip(vp_c + offsets[nb], 0, grid_res - 1)
         cid = (nc[:, 2] * grid_res + nc[:, 1]) * grid_res + nc[:, 0]
         start = jnp.searchsorted(ph_cid_s, cid)
+        # over-full cells: the budget reads an arbitrary subset, so scale
+        # by count/budget to stay unbiased (reference grid is unbounded)
+        count = jnp.searchsorted(ph_cid_s, cid, side="right") - start
+        scale = jnp.maximum(count.astype(jnp.float32) / MAX_PER_CELL, 1.0)
         j = jnp.minimum(start + k, ph_cid_s.shape[0] - 1)
         in_cell = ph_cid_s[j] == cid
         dist2 = jnp.sum((ph_p_s[j] - vp_p) ** 2, -1)
         same_side = jnp.sum(ph_n_s[j] * vp_ns, -1) > 0.0
         ok = vp_valid & in_cell & (dist2 <= r2) & same_side
-        tau_add = tau_add + jnp.where(ok[..., None], ph_pow_s[j], 0.0)
-        m_add = m_add + ok.astype(jnp.float32)
+        tau_add = tau_add + jnp.where(ok[..., None], ph_pow_s[j] * scale[..., None], 0.0)
+        m_add = m_add + ok.astype(jnp.float32) * scale
         return tau_add, m_add
 
     tau_add, m_add = jax.lax.fori_loop(

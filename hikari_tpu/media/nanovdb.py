@@ -216,6 +216,111 @@ def to_dense(buf: bytes, md: dict | None = None):
     return dense, imin, imax, md
 
 
+def to_bricks(buf: bytes, md: dict | None = None):
+    """Reindex the sparse tree into the device brick layout WITHOUT
+    materializing the dense extent: active 8^3 leaves become bricks,
+    active constant tiles become table ranges pointing at shared
+    constant-filled bricks (one per distinct value).
+
+    Returns (table (tbz,tby,tbx) int32, bricks (NB,512) f32, imin (3,),
+    imax (3,), md) with index bounds 8-aligned."""
+    if md is None:
+        md = extract_metadata(buf)
+    md = dict(md)
+    md.setdefault("background", 0.0)
+    bg = np.float32(md["background"])
+    n_leaf = md["leaf_count"]
+    lo = md["leaf_offset"]
+
+    origins = np.zeros((n_leaf, 3), np.int64)
+    blocks = np.zeros((n_leaf, 512), np.float32)
+    for i in range(n_leaf):
+        off = lo + i * LEAF_SIZE
+        origins[i] = np.frombuffer(buf, np.int32, 3, off)
+        mask = np.unpackbits(
+            np.frombuffer(buf, np.uint8, 64, off + LEAF_MASK_OFF),
+            bitorder="little").astype(bool)
+        vals = _f32(buf, off + LEAF_VALUES_OFF, 512)
+        blocks[i] = np.where(mask, vals, bg)
+
+    fills = _collect_constant_tiles(buf, md)
+    if n_leaf == 0 and not fills:
+        return (np.full((1, 1, 1), -1, np.int32),
+                np.zeros((0, 512), np.float32),
+                np.zeros(3, np.int64), np.full(3, 8, np.int64), md)
+
+    bbox = np.frombuffer(buf, np.int32, 6, md["root_offset"])
+    bb_lo, bb_hi = bbox[:3].astype(np.int64), bbox[3:].astype(np.int64) + 1
+    has_bbox = np.all(bb_hi > bb_lo)
+
+    pieces = []
+    if n_leaf:
+        pieces.append((origins.min(0), origins.max(0) + LEAF_DIM))
+    clipped_fills = []
+    for o3, size, value in fills:
+        f_lo = np.asarray(o3, np.int64)
+        f_hi = f_lo + size
+        if has_bbox:
+            f_lo = np.maximum(f_lo, bb_lo)
+            f_hi = np.minimum(f_hi, bb_hi)
+        if np.all(f_hi > f_lo):
+            pieces.append((f_lo, f_hi))
+            clipped_fills.append((f_lo, f_hi, value))
+    imin = np.min([p[0] for p in pieces], axis=0)
+    imax = np.max([p[1] for p in pieces], axis=0)
+    # 8-align so fills and leaves land on whole table cells
+    imin = (imin // 8) * 8
+    imax = ((imax + 7) // 8) * 8
+
+    tb = ((imax - imin) // 8).astype(np.int64)
+    table = np.full((tb[2], tb[1], tb[0]), -1, np.int32)
+    brick_list = []
+
+    # constant tiles first, coarse to fine, each value one shared brick
+    const_brick: dict[float, int] = {}
+    for f_lo, f_hi, value in sorted(clipped_fills, key=lambda f: -(f[1] - f[0]).max()):
+        if value not in const_brick:
+            const_brick[value] = len(brick_list)
+            brick_list.append(np.full(512, value, np.float32))
+        a = (f_lo - imin) // 8
+        b = (f_hi - imin + 7) // 8
+        table[a[2]:b[2], a[1]:b[1], a[0]:b[0]] = const_brick[value]
+
+    # leaves override: voxel order ((z&7)*8+(y&7))*8+(x&7); the file stores
+    # (x<<6|y<<3|z), so transpose
+    for i in range(n_leaf):
+        blk = blocks[i].reshape(8, 8, 8)          # [x][y][z]
+        brick_list.append(np.ascontiguousarray(
+            blk.transpose(2, 1, 0).reshape(512)))  # -> [z][y][x]
+        c = (origins[i] - imin) // 8
+        table[c[2], c[1], c[0]] = len(brick_list) - 1
+
+    bricks = (np.stack(brick_list) if brick_list
+              else np.zeros((0, 512), np.float32))
+    return table, bricks, imin, imax, md
+
+
+def load_nanovdb_sparse(path: str):
+    """Read a NanoVDB file into the sparse brick layout -> (table, bricks,
+    world_lo, world_hi, background)."""
+    with open(path, "rb") as f:
+        buf = zlib.decompress(f.read())
+    md = extract_metadata(buf)
+    table, bricks, imin, imax, md = to_bricks(buf, md)
+    wmin = np.asarray(md["world_min"], np.float64)
+    wmax = np.asarray(md["world_max"], np.float64)
+    inv = np.asarray(md["inv_mat"], np.float64)
+    voxel = 1.0 / np.diag(inv)
+    # the brick table spans the 8-aligned index bbox, which may exceed the
+    # header's world bbox: derive world bounds from the index box + map
+    wlo = np.asarray(md["vec"], np.float64) + imin * voxel
+    whi = np.asarray(md["vec"], np.float64) + imax * voxel
+    if not np.all(np.isfinite(wlo)):
+        wlo, whi = wmin, wmax
+    return (table, bricks, wlo.astype(np.float32), whi.astype(np.float32),
+            float(md["background"]))
+
+
 def build_nanovdb(dense: np.ndarray, origin=(0.0, 0.0, 0.0), extent=(1.0, 1.0, 1.0)):
     """Build the NanoVDB node buffer from a dense (nz, ny, nx) grid:
     only non-empty 8^3 leaves are stored (build_nanovdb_from_dense,
@@ -347,27 +452,54 @@ def save_nanovdb(path: str, dense: np.ndarray, origin=(0, 0, 0), extent=(1, 1, 1
 
 def load_nanovdb(path: str):
     """Read a zlib-compressed NanoVDB file -> (dense (nz,ny,nx), world_lo,
-    world_hi)."""
+    world_hi).
+
+    World bounds are derived from the CROPPED index box through the grid
+    map — to_dense drops empty border leaves, so the header's world bbox
+    (which spans the full original grid) would stretch the cropped array
+    over the wrong region."""
     with open(path, "rb") as f:
         buf = zlib.decompress(f.read())
     dense, imin, imax, md = to_dense(buf)
-    # world bounds from the header; if unset, derive from index box + map
-    wmin = np.asarray(md["world_min"], np.float64)
-    wmax = np.asarray(md["world_max"], np.float64)
-    if not np.all(np.isfinite(wmin)) or np.all(wmax == 0.0):
-        inv = np.asarray(md["inv_mat"], np.float64)
-        voxel = 1.0 / np.diag(inv)
-        wmin = md["vec"] + imin * voxel
-        wmax = md["vec"] + imax * voxel
+    inv = np.asarray(md["inv_mat"], np.float64)
+    voxel = 1.0 / np.diag(inv)
+    wmin = np.asarray(md["vec"], np.float64) + imin * voxel
+    wmax = np.asarray(md["vec"], np.float64) + imax * voxel
+    if not np.all(np.isfinite(wmin)):
+        wmin = np.asarray(md["world_min"], np.float64)
+        wmax = np.asarray(md["world_max"], np.float64)
     return dense, wmin.astype(np.float32), wmax.astype(np.float32)
 
 
-def nanovdb_medium(path: str, sigma_a=(0.0, 0.0, 0.0), sigma_s=(1.0, 1.0, 1.0),
-                   g: float = 0.0, scale: float = 1.0):
-    """NanoVDBMedium constructor (nanovdb.jl:1320+): load the grid and wrap
-    it as a GridMedium with DDA majorant cells."""
-    from .types import GridMedium
+# dense extents past this voxel count auto-select the sparse brick path
+SPARSE_AUTO_VOXELS = 64 * 1024 * 1024
 
+
+def nanovdb_medium(path: str, sigma_a=(0.0, 0.0, 0.0), sigma_s=(1.0, 1.0, 1.0),
+                   g: float = 0.0, scale: float = 1.0, sparse: bool | None = None):
+    """NanoVDBMedium constructor (nanovdb.jl:1320+).
+
+    sparse=True (or auto when the dense extent exceeds SPARSE_AUTO_VOXELS):
+    the grid stays in the brick-paged sparse layout on device — a
+    BOMEX-class cloud with a large, mostly-empty index bbox never
+    materializes its dense extent. sparse=False: densify to a GridMedium."""
+    from .types import BrickGridMedium, GridMedium
+
+    if sparse is None:
+        with open(path, "rb") as f:
+            buf = zlib.decompress(f.read())
+        md = extract_metadata(buf)
+        bbox = np.frombuffer(buf, np.int32, 6, md["root_offset"])
+        ext = np.maximum(bbox[3:].astype(np.int64) + 1 - bbox[:3], 1)
+        sparse = bool(np.prod(ext) > SPARSE_AUTO_VOXELS)
+
+    if sparse:
+        table, bricks, wlo, whi, bg = load_nanovdb_sparse(path)
+        return BrickGridMedium(
+            table=table, bricks=bricks, bounds_lo=tuple(wlo),
+            bounds_hi=tuple(whi), background=bg,
+            sigma_a=sigma_a, sigma_s=sigma_s, g=g, scale=scale,
+        )
     dense, wlo, whi = load_nanovdb(path)
     return GridMedium(
         density=dense, bounds_lo=tuple(wlo), bounds_hi=tuple(whi),

@@ -24,6 +24,8 @@ from ..core.pytree import pytree_dataclass
 HOMOGENEOUS = 0
 GRID = 1
 RGBGRID = 2
+BRICK = 3       # sparse brick-paged grid (NanoVDB-class volumes)
+BRICK_DIM = 8   # voxels per brick edge (NanoVDB leaf size)
 N_MEDIUM_TYPES = 3
 
 MAJORANT_RES = 16  # majorant grid resolution per axis (media.jl:1123-1543)
@@ -186,7 +188,31 @@ def Smoke(scale=1.0):
     return medium_preset("Smoke", scale, g=0.0)
 
 
-@pytree_dataclass(static=("n_media", "has_grid", "has_deflection",))
+@dataclass
+class BrickGridMedium:
+    """Sparse density medium: active 8^3 bricks + a coarse int32 page
+    table over the index bbox (the TPU re-architecture of the reference's
+    NanoVDBMedium tree walk, nanovdb.jl:315-418 — the root/upper/lower
+    descent becomes ONE aligned table gather + one brick gather per voxel).
+
+    table: (tbz, tby, tbx) int32 -> brick id, -1 = background.
+    bricks: (NB, 512) float32, voxel order ((z&7)*8+(y&7))*8+(x&7).
+    bounds_lo/hi: world AABB of the index bbox (table*8 voxels).
+    Memory scales with ACTIVE bricks + table, not the dense extent."""
+
+    table: object
+    bricks: object
+    bounds_lo: tuple = (0.0, 0.0, 0.0)
+    bounds_hi: tuple = (1.0, 1.0, 1.0)
+    background: float = 0.0
+    sigma_a: tuple = (0.0, 0.0, 0.0)
+    sigma_s: tuple = (1.0, 1.0, 1.0)
+    le: tuple = (0.0, 0.0, 0.0)
+    g: float = 0.0
+    scale: float = 1.0
+
+
+@pytree_dataclass(static=("n_media", "has_grid", "has_brick", "has_deflection",))
 class MediumBanks:
     med_type: jnp.ndarray      # (M,) HOMOGENEOUS / GRID / RGBGRID
     sigma_a: jnp.ndarray       # (M, 3) rgb, pre-scaled (per-density for grids)
@@ -213,8 +239,15 @@ class MediumBanks:
     maj: jnp.ndarray           # (M, R, R, R) float32
     defl_strength: jnp.ndarray  # (M,) 0 = straight rays
     defl_center: jnp.ndarray    # (M, 3)
+    # sparse brick media (BRICK): page table + brick voxel pool
+    brick_table: jnp.ndarray    # (TV,) int32, all media concatenated
+    brick_vals: jnp.ndarray     # (NB * 512,) float32
+    brick_tab_off: jnp.ndarray  # (M,) into brick_table
+    brick_base: jnp.ndarray     # (M,) brick-id offset into the pool
+    brick_bg: jnp.ndarray       # (M,) background density
     n_media: int
     has_grid: bool
+    has_brick: bool = False
     has_deflection: bool = False
 
 
@@ -250,6 +283,10 @@ def pack_media(media: list) -> MediumBanks:
     offset = 0
     rgb_offset = 0
     has_grid = False
+    has_brick = False
+    brick_tabs, brick_pool, brick_tab_off, brick_base, brick_bg = [], [], [], [], []
+    brick_tab_cursor = 0
+    brick_cursor = 0
     r = MAJORANT_RES
     for m in media:
         d_spec = getattr(m, "deflection", None)
@@ -274,6 +311,9 @@ def pack_media(media: list) -> MediumBanks:
             gres.append((1, 1, 1))
             maxd.append(float(getattr(m, "majorant_scale", 1.0)))
             majs.append(np.ones((r, r, r), np.float32))
+            brick_tab_off.append(0)
+            brick_base.append(0)
+            brick_bg.append(0.0)
         elif isinstance(m, GridMedium):
             has_grid = True
             d = np.asarray(m.density, np.float32)
@@ -293,6 +333,9 @@ def pack_media(media: list) -> MediumBanks:
             majs.append(_build_majorant_cells(d))
             flat.append(d.reshape(-1))
             offset += d.size
+            brick_tab_off.append(0)
+            brick_base.append(0)
+            brick_bg.append(0.0)
         elif isinstance(m, RGBGridMedium):
             has_grid = True
             sag = np.asarray(m.sigma_a_grid, np.float32) * m.sigma_a_scale \
@@ -326,6 +369,39 @@ def pack_media(media: list) -> MediumBanks:
             rgb_ss.append(ssg.reshape(-1, 3))
             rgb_le.append(leg.reshape(-1, 3))
             rgb_offset += nz * ny * nx
+            brick_tab_off.append(0)
+            brick_base.append(0)
+            brick_bg.append(0.0)
+        elif isinstance(m, BrickGridMedium):
+            has_brick = True
+            tab = np.asarray(m.table, np.int32)
+            assert tab.ndim == 3
+            bricks = np.asarray(m.bricks, np.float32).reshape(-1, 512)
+            tbz, tby, tbx = tab.shape
+            types.append(BRICK)
+            sa.append(np.asarray(m.sigma_a) * m.scale)
+            ss.append(np.asarray(m.sigma_s) * m.scale)
+            le.append(np.asarray(m.le))
+            g.append(m.g)
+            blo.append(m.bounds_lo)
+            bhi.append(m.bounds_hi)
+            goff.append(0)
+            roff.append(0)
+            gres.append((tbx * BRICK_DIM, tby * BRICK_DIM, tbz * BRICK_DIM))
+            brick_tab_off.append(brick_tab_cursor)
+            brick_base.append(brick_cursor)
+            brick_bg.append(float(m.background))
+            brick_tabs.append(tab.reshape(-1))
+            brick_pool.append(bricks)
+            brick_tab_cursor += tab.size
+            brick_cursor += len(bricks)
+            # per-cell majorants from brick maxima; _build_majorant_cells'
+            # 1-input-unit box dilation is a full BRICK of slack here, which
+            # covers trilinear bleed across brick borders
+            bmax = bricks.max(axis=1) if len(bricks) else np.zeros(1, np.float32)
+            cell = np.where(tab >= 0, bmax[np.maximum(tab, 0)], m.background)
+            maxd.append(float(cell.max()) if cell.size else 0.0)
+            majs.append(_build_majorant_cells(cell.astype(np.float32)))
         else:
             raise TypeError(f"unknown medium {type(m)}")
 
@@ -354,6 +430,11 @@ def pack_media(media: list) -> MediumBanks:
             maj=jnp.ones((1, r, r, r), jnp.float32),
             defl_strength=jnp.zeros((1,), jnp.float32),
             defl_center=jnp.zeros((1, 3), jnp.float32),
+            brick_table=jnp.full((1,), -1, jnp.int32),
+            brick_vals=jnp.zeros((1,), jnp.float32),
+            brick_tab_off=jnp.zeros((1,), jnp.int32),
+            brick_base=jnp.zeros((1,), jnp.int32),
+            brick_bg=jnp.zeros((1,), jnp.float32),
             n_media=0,
             has_grid=False,
         )
@@ -392,7 +473,18 @@ def pack_media(media: list) -> MediumBanks:
         maj=jnp.asarray(np.stack(majs)),
         defl_strength=jnp.asarray(defl_s, jnp.float32),
         defl_center=jnp.asarray(np.asarray(defl_c, np.float32)),
+        brick_table=jnp.asarray(
+            np.concatenate(brick_tabs) if brick_tabs else np.full(1, -1, np.int32)
+        ),
+        brick_vals=jnp.asarray(
+            np.concatenate(brick_pool).reshape(-1) if brick_pool
+            else np.zeros(1, np.float32)
+        ),
+        brick_tab_off=jnp.asarray(brick_tab_off, jnp.int32),
+        brick_base=jnp.asarray(brick_base, jnp.int32),
+        brick_bg=jnp.asarray(brick_bg, jnp.float32),
         n_media=n,
         has_grid=has_grid,
+        has_brick=has_brick,
         has_deflection=any(s != 0.0 for s in defl_s),
     )

@@ -16,3 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the suite is compile-dominated (fresh process
+# recompiles every jit); XLA:CPU honors the cache, cutting reruns sharply
+jax.config.update("jax_compilation_cache_dir", "/tmp/hikari_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

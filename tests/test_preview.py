@@ -47,3 +47,50 @@ def test_whitted_mirror_reflection():
     # scene -> the mirror region gains energy
     gain = img_d3.sum() - img_d1.sum()
     assert gain > 0.1, gain
+
+
+def test_whitted_glass_refraction():
+    """Whitted glass now refracts (reference material.jl:22-180 Fresnel
+    lobes): a glass pane in front of an emissive wall transmits the wall's
+    image; a mirror pane blocks it."""
+    from hikari_tpu.materials.types import Glass, Mirror
+
+    def build(pane_mat):
+        s = Scene()
+        # emissive wall BEHIND the pane
+        s.add(make_quad((-2, -2, 3), (2, -2, 3), (2, 2, 3), (-2, 2, 3)),
+              Emissive(le=(1, 1, 1), scale=4.0))
+        s.add(make_quad((-1.5, -1.5, 1), (1.5, -1.5, 1), (1.5, 1.5, 1), (-1.5, 1.5, 1)),
+              pane_mat)
+        s.add_light(PointLight(position=(0, 0, -2), intensity=(1, 1, 1)))
+        return s.build()
+
+    cam = make_perspective_camera((0, 0, -2.5), (0, 0, 0), (24, 24), fov_deg=35.0)
+    vp = Whitted(max_depth=4, samples_per_pixel=8)
+    img_glass = np.asarray(framebuffer(render_preview(vp, build(Glass(eta=1.5)), cam)))
+    img_mirror = np.asarray(framebuffer(render_preview(vp, build(Mirror()), cam)))
+    assert np.isfinite(img_glass).all()
+    center_glass = img_glass[8:16, 8:16].mean()
+    center_mirror = img_mirror[8:16, 8:16].mean()
+    # glass transmits ~92% of the emissive wall; the mirror shows none of it
+    assert center_glass > 0.2, center_glass
+    assert center_glass > 3.0 * center_mirror, (center_glass, center_mirror)
+
+
+def test_whitted_smooth_conductor_fresnel_tint():
+    """Smooth gold joins the specular set: its reflection is gold-tinted
+    (red >> blue) rather than albedo-gray."""
+    from hikari_tpu.materials.types import Gold
+
+    s = Scene()
+    # emissive wall BEHIND the camera so the sphere's reflection sees it
+    s.add(make_quad((-3, -3, -3), (3, -3, -3), (3, 3, -3), (-3, 3, -3)),
+          Emissive(le=(1, 1, 1), scale=4.0))
+    s.add(make_sphere((0, 0, 0), 0.6, 16, 32), Gold(roughness=0.0))
+    s.add_light(PointLight(position=(0, 2, -2), intensity=(5, 5, 5)))
+    scene = s.build()
+    cam = make_perspective_camera((0, 0, -2.2), (0, 0, 0), (24, 24), fov_deg=30.0)
+    img = np.asarray(framebuffer(render_preview(Whitted(max_depth=3, samples_per_pixel=4), scene, cam)))
+    sphere = img[8:16, 8:16]
+    assert sphere.sum() > 0.05
+    assert sphere[..., 0].sum() > 1.3 * sphere[..., 2].sum(), "not gold-tinted"

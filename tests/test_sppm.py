@@ -62,3 +62,37 @@ def test_sppm_radius_shrinks():
     r2_3 = np.asarray(state["r2"])
     assert (r2_3 <= r2_0 + 1e-9).all()
     assert (r2_3 < r2_0).mean() > 0.3, "radii should shrink where photons land"
+
+
+def test_sppm_refractive_caustic():
+    """Glass-sphere caustic: photons refracting through the sphere must
+    focus light under it (brighter than the open floor next to it at equal
+    light distance). Mirror-only photon transport (the round-1 behavior)
+    produces no such hot spot."""
+    import numpy as np
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.integrators.sppm import SPPM, render_sppm
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import Glass, Matte
+    from hikari_tpu.scene.mesh import make_quad, make_sphere
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    s.add(make_quad((-3, 0, -3), (3, 0, -3), (3, 0, 3), (-3, 0, 3)),
+          Matte(kd=(0.7, 0.7, 0.7)))
+    s.add(make_sphere((0.0, 0.7, 0.0), 0.45, 14, 28), Glass(eta=1.5))
+    s.add_light(PointLight(position=(0.0, 2.6, 0.0), intensity=(30, 30, 30)))
+    scene = s.build()
+    cam = make_perspective_camera((0, 2.0, -2.6), (0, 0.2, 0), (48, 48),
+                                  fov_deg=40.0)
+    integ = SPPM(iterations=4, photons_per_iteration=32768,
+                 initial_radius=0.12, max_depth=5)
+    img = np.asarray(render_sppm(integ, scene, cam))
+    assert np.isfinite(img).all()
+    # caustic spot: floor directly under the sphere (image center-bottom
+    # area) vs an off-axis floor strip at similar light distance
+    h, w, _ = img.shape
+    lum = img.mean(-1)
+    spot = lum[int(0.62 * h):int(0.80 * h), int(0.40 * w):int(0.60 * w)].max()
+    side = lum[int(0.62 * h):int(0.80 * h), int(0.05 * w):int(0.25 * w)].mean()
+    assert spot > 1.5 * side, (spot, side)
