@@ -38,8 +38,8 @@ from ..core.pytree import pytree_dataclass
 from .traverse import HitRecord
 from .wavefront import (
     LANES, PAIR_CHUNK, RAY_TILE, ROWS, TILE_SHIFT, TREELET, TREELET_MASK,
-    Treelets, _build_pairs, _pad_rays, _world_exit_clamp, build_treelets,
-    ray_sort_keys, tile_treelet_mask,
+    Treelets, _build_pairs, _pad_rays, _sort_wavefront, _unsort_hits,
+    _world_exit_clamp, build_treelets, ray_sort_keys, tile_treelet_mask,
 )
 
 
@@ -153,9 +153,9 @@ def _closest_inst_kernel(meta_ref, tobj_ref, tinst_ref, tnear_ref,
         b1_ref[0] = b1_i_ref[0]
         b2_ref[0] = b2_i_ref[0]
 
-    tn = tnear_ref[0, 0]
+    thr_bits = jnp.max(jax.lax.bitcast_convert_type(t_ref[0], jnp.int32))
 
-    @pl.when(tn < jnp.max(t_ref[0]))
+    @pl.when(tnear_ref[p] < thr_bits)
     def _work():
         t, u, v, den = _bw_block_inst(
             o4_ref[:], d4_ref[:], a_ref[0], bw_ref[0])
@@ -183,7 +183,7 @@ def _closest_inst_kernel(meta_ref, tobj_ref, tinst_ref, tnear_ref,
         b2_ref[0] = jnp.where(better, v_new, b2_ref[0])
 
 
-def _occlusion_inst_kernel(meta_ref, tobj_ref, tinst_ref,
+def _occlusion_inst_kernel(meta_ref, tobj_ref, tinst_ref, tnear_ref,
                            o4_ref, d4_ref, tmax_ref, occ_i_ref,
                            bw_ref, a_ref, occ_ref):
     p = pl.program_id(0)
@@ -195,7 +195,11 @@ def _occlusion_inst_kernel(meta_ref, tobj_ref, tinst_ref,
     def _init():
         occ_ref[0] = occ_i_ref[0]
 
-    @pl.when(jnp.min(occ_ref[0]) == 0)
+    # resolved-tile early-out + beyond-all-lights distance cap
+    live_reach_bits = jnp.max(jax.lax.bitcast_convert_type(
+        jnp.where(occ_ref[0] == 0, tmax_ref[0], 0.0), jnp.int32))
+
+    @pl.when(tnear_ref[p] < live_reach_bits)
     def _work():
         t, u, v, den = _bw_block_inst(
             o4_ref[:], d4_ref[:], a_ref[0], bw_ref[0])
@@ -228,22 +232,19 @@ def _sweep_chunks_inst(kernel, meta, n_pairs, tnear_pair, tl, o4, d4,
     if n_chunks * chunk > P:
         pad = n_chunks * chunk - P
         meta = jnp.concatenate([meta, jnp.broadcast_to(meta[-1:], (pad,))])
-        if tnear_pair is not None:
-            tnear_pair = jnp.concatenate(
-                [tnear_pair, jnp.broadcast_to(tnear_pair[-1:], (pad,))])
+        tnear_pair = jnp.concatenate(
+            [tnear_pair, jnp.broadcast_to(tnear_pair[-1:], (pad,))])
 
     state_spec = lambda: pl.BlockSpec(
-        (1, RAY_TILE, 1), lambda p, m, to, ti: (m[p] >> TILE_SHIFT, 0, 0))
+        (1, RAY_TILE, 1), lambda p, m, to, ti, tn: (m[p] >> TILE_SHIFT, 0, 0))
     ray_spec = lambda: pl.BlockSpec(
-        (RAY_TILE, 4), lambda p, m, to, ti: (m[p] >> TILE_SHIFT, 0))
+        (RAY_TILE, 4), lambda p, m, to, ti, tn: (m[p] >> TILE_SHIFT, 0))
     bw_spec = pl.BlockSpec(
-        (1, 24, 3 * TREELET), lambda p, m, to, ti: (to[m[p] & TREELET_MASK], 0, 0))
+        (1, 24, 3 * TREELET),
+        lambda p, m, to, ti, tn: (to[m[p] & TREELET_MASK], 0, 0))
     a_spec = pl.BlockSpec(
-        (1, 4, 4), lambda p, m, to, ti: (ti[m[p] & TREELET_MASK], 0, 0))
+        (1, 4, 4), lambda p, m, to, ti, tn: (ti[m[p] & TREELET_MASK], 0, 0))
     specs = [ray_spec(), ray_spec()]
-    if tnear_pair is not None:
-        specs.insert(0, pl.BlockSpec(
-            (1, 1), lambda p, m, to, ti: (p, 0)))
 
     n_carry = len(carry_in)
     out_shape = [jax.ShapeDtypeStruct((n_tiles, RAY_TILE, 1), c.dtype)
@@ -260,19 +261,17 @@ def _sweep_chunks_inst(kernel, meta, n_pairs, tnear_pair, tl, o4, d4,
 
     carry = tuple(st(c) for c in carry_in)
     extra = [st(x) for x in extra_inputs]
+    tnear_bits = jax.lax.bitcast_convert_type(tnear_pair, jnp.int32)
     for c in range(n_chunks):
         meta_c = jax.lax.dynamic_slice(meta, (c * chunk,), (chunk,))
-        tn_in = []
-        if tnear_pair is not None:
-            tn_in = [jax.lax.dynamic_slice(
-                tnear_pair, (c * chunk,), (chunk,)).reshape(chunk, 1)]
-        inputs = tn_in + [o4, d4] + extra + list(carry) + [tl.bw, tl.inst_a]
+        tn_c = jax.lax.dynamic_slice(tnear_bits, (c * chunk,), (chunk,))
+        inputs = [o4, d4] + extra + list(carry) + [tl.bw, tl.inst_a]
         if interpret:
             g = chunk
         else:
             g = jnp.clip(n_pairs - c * chunk, 1, chunk)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(g,),
             in_specs=in_specs,
             out_specs=[state_spec() for _ in range(n_carry)],
@@ -282,7 +281,7 @@ def _sweep_chunks_inst(kernel, meta, n_pairs, tnear_pair, tl, o4, d4,
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(meta_c, tl.ti_obj, tl.ti_inst, *inputs))
+        )(meta_c, tl.ti_obj, tl.ti_inst, tn_c, *inputs))
     return carry
 
 
@@ -309,12 +308,7 @@ def closest_hit_instanced(
 
     keys = ray_sort_keys(o, d, world_lo, world_hi)
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(keys)
-    inv_order = jnp.zeros((n_pad,), jnp.int32).at[order].set(
-        jnp.arange(n_pad, dtype=jnp.int32))
-    os_ = o[order]
-    ds = d[order]
-    ts = t_max[order]
+    order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
 
     mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
     meta, n_pairs = _build_pairs(mask, tnear)
@@ -329,10 +323,10 @@ def closest_hit_instanced(
         _closest_inst_kernel, meta, n_pairs, tnear_pair, tl, o4, d4,
         carry_in, [], n_tiles, interpret)
 
-    t_res = t_res.reshape(-1)[inv_order][:n]
-    tri = tri.reshape(-1)[inv_order][:n]
-    b1 = b1.reshape(-1)[inv_order][:n]
-    b2 = b2.reshape(-1)[inv_order][:n]
+    t_res, b1, b2, tri = _unsort_hits(
+        order, n_pad, t_res.reshape(-1), b1.reshape(-1), b2.reshape(-1),
+        tri.reshape(-1))
+    t_res, tri, b1, b2 = t_res[:n], tri[:n], b1[:n], b2[:n]
     return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
 
 
@@ -353,22 +347,18 @@ def any_hit_instanced(tl, o, d, t_max, world_lo, world_hi, interpret=False,
     if group is not None:
         keys = ((group.astype(jnp.uint32) & jnp.uint32(63)) << 26) | (keys >> 6)
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(keys)
-    inv_order = jnp.zeros((n_pad,), jnp.int32).at[order].set(
-        jnp.arange(n_pad, dtype=jnp.int32))
-    os_ = o[order]
-    ds = d[order]
-    ts = t_max[order]
+    order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
 
     mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
     meta, n_pairs = _build_pairs(mask, tnear)
+    tnear_pair = _pair_tnear(meta, tnear, n_pairs)
 
     o4, d4 = _ray_blocks(os_, ds)
     occ0 = (ts <= 0.0).astype(jnp.int32)
 
     (occ,) = _sweep_chunks_inst(
-        _occlusion_inst_kernel, meta, n_pairs, None, tl, o4, d4,
+        _occlusion_inst_kernel, meta, n_pairs, tnear_pair, tl, o4, d4,
         (occ0,), [ts], n_tiles, interpret)
 
-    occ = occ.reshape(-1)[inv_order][:n]
+    occ = jnp.zeros((n_pad,), jnp.int32).at[order].set(occ.reshape(-1))[:n]
     return (occ > 0) & (t_max[:n] > 0.0)

@@ -58,11 +58,14 @@ from jax.experimental import pallas as pl
 from ..core.pytree import pytree_dataclass
 from .traverse import HitRecord
 
+import os as _os
+
 RAY_TILE = 1024    # rays per packet = 8 sublane rows x 128 lanes
 LANES = 128
 ROWS = RAY_TILE // LANES
-TREELET = 256      # triangles per treelet (TT)
-PAIR_CHUNK = 128 * 1024  # pairs per pallas_call; meta chunk = 512 KB of SMEM
+# triangles per treelet (TT); overridable for perf sweeps
+TREELET = int(_os.environ.get("HIKARI_TREELET", "256"))
+PAIR_CHUNK = 64 * 1024  # pairs per pallas_call; meta+tnear SMEM = 512 KB
 # pair metadata packs (tile << TILE_SHIFT | treelet) into one int32:
 # <= 4096 ray tiles (4.2M rays per dispatch) x <= 1M world treelets
 TILE_SHIFT = 20
@@ -201,6 +204,46 @@ def ray_sort_keys(o, d, world_lo, world_hi):
     return (octant << 29) | (m << 15) | (dm & jnp.uint32(0x7FFF))
 
 
+
+
+def _sort_wavefront(o, d, t_max, keys):
+    """Sort the wavefront by keys with ONE packed row gather.
+
+    TPU gathers cost per ADDRESS, not per element (tools/prof_gather.py:
+    three separate o/d/t gathers 12 ms vs one (n,8) row gather 3.9 ms at
+    640k lanes), and lax.sort_key_val beats argsort 2.5 vs 6.4 ms."""
+    n = o.shape[0]
+    _, order = jax.lax.sort_key_val(keys, jnp.arange(n, dtype=jnp.int32))
+    rows = jnp.concatenate(
+        [o, d, t_max[:, None], jnp.zeros((n, 1), o.dtype)], axis=1)
+    srt = rows[order]
+    return order, srt[:, 0:3], srt[:, 3:6], srt[:, 6]
+
+
+def _unsort_hits(order, n, t, b1, b2, tri):
+    """Sorted-order hit results -> lane order: inverse permutation by
+    scatter (4.8 ms) + ONE (n,5) row gather (~4.7 ms — gathers cost per
+    address, not per element). A direct (n,4) row *scatter* measures 28 ms,
+    so gather-with-inverse wins.
+
+    The int channel CANNOT ride as a bitcast: tri = -1 bitcasts to a NaN
+    payload that TPU float paths canonicalize (0xFFFFFFFF -> 0x7FC00000),
+    turning every miss into a fake hit. Instead tri+1 is split into two
+    16-bit halves, each exactly representable in f32, and recombined in
+    integer arithmetic after the gather."""
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    utri = (tri + 1).astype(jnp.uint32)
+    hi = (utri >> 16).astype(jnp.float32)
+    lo = (utri & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    packed = jnp.stack([t, b1, b2, hi, lo], axis=-1)
+    out = packed[inv]
+    tri_out = (
+        (out[:, 3].astype(jnp.int32) << 16) | out[:, 4].astype(jnp.int32)
+    ) - 1
+    return out[:, 0], out[:, 1], out[:, 2], tri_out
+
+
 # --- conservative tile x treelet culling --------------------------------------------
 
 
@@ -337,12 +380,13 @@ def _closest_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
         b2_ref[0] = b2_i_ref[0]
 
     # conservative front-to-back early-out: skip the treelet if its entry
-    # distance cannot beat the worst lane's current best
-    row = tnear_ref[0]                                       # (1, T_pad)
-    cols_m = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-    tn = jnp.min(jnp.where(cols_m == treelet, row, 3.0e37))
+    # distance cannot beat the worst lane's current best. tnear rides the
+    # scalar-prefetch SMEM as raw f32 bits; non-negative IEEE floats order
+    # like their signed bit patterns, so the compare runs in int space
+    # (Mosaic has no scalar bitcast).
+    thr_bits = jnp.max(jax.lax.bitcast_convert_type(t_ref[0], jnp.int32))
 
-    @pl.when(tn < jnp.max(t_ref[0]))
+    @pl.when(tnear_ref[p] < thr_bits)
     def _work():
         t, u, v, den = _bw_block(a6_ref[:], d6_ref[:], bw_ref[0])
         eps = 1e-6
@@ -369,7 +413,7 @@ def _closest_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
         b2_ref[0] = jnp.where(better, v_new, b2_ref[0])
 
 
-def _occlusion_pairs_kernel(meta_ref, a6_ref, d6_ref,
+def _occlusion_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
                             tmax_ref, occ_i_ref, bw_ref, occ_ref):
     p = pl.program_id(0)
     m = meta_ref[p]
@@ -381,9 +425,13 @@ def _occlusion_pairs_kernel(meta_ref, a6_ref, d6_ref,
     def _init():
         occ_ref[0] = occ_i_ref[0]
 
-    # early-out once every lane in the tile is resolved (shadow rays
-    # resolve after a handful of front-to-back treelets)
-    @pl.when(jnp.min(occ_ref[0]) == 0)
+    # skip once every lane is resolved, OR when this treelet lies beyond
+    # every unresolved lane's light distance — unoccluded shadow rays then
+    # stop sweeping at their light instead of exhausting the pair list
+    live_reach_bits = jnp.max(jax.lax.bitcast_convert_type(
+        jnp.where(occ_ref[0] == 0, tmax_ref[0], 0.0), jnp.int32))
+
+    @pl.when(tnear_ref[p] < live_reach_bits)
     def _work():
         t, u, v, den = _bw_block(a6_ref[:], d6_ref[:], bw_ref[0])
         eps = 1e-6
@@ -414,31 +462,33 @@ def _ray_matrices(os_, ds):
     return _split3_rays(a), _split3_rays(b)
 
 
-def _sweep_chunks(kernel, meta, n_pairs, tnear3, a6, d6, carry_in,
+def _sweep_chunks(kernel, meta, n_pairs, tnear_pair, a6, d6, carry_in,
                   extra_inputs, tl, n_tiles, interpret):
     """Run the pair sweep in PAIR_CHUNK-sized pallas_calls, carrying the
     per-ray accumulator state between chunks. Grid size per chunk is the
     dynamic live-pair count (Mosaic dynamic grids); in interpret mode the
-    full static chunk runs (padding steps are idempotent)."""
+    full static chunk runs (padding steps are idempotent).
+
+    tnear_pair: (P,) conservative entry distance per pair, feeding the
+    kernels' front-to-back early-outs."""
     from jax.experimental.pallas import tpu as pltpu
 
     P = meta.shape[0]
     chunk = min(PAIR_CHUNK, P)
     n_chunks = -(-P // chunk)
     if n_chunks * chunk > P:
-        meta = jnp.concatenate(
-            [meta, jnp.broadcast_to(meta[-1:], (n_chunks * chunk - P,))])
+        pad = n_chunks * chunk - P
+        meta = jnp.concatenate([meta, jnp.broadcast_to(meta[-1:], (pad,))])
+        tnear_pair = jnp.concatenate(
+            [tnear_pair, jnp.broadcast_to(tnear_pair[-1:], (pad,))])
 
     state_spec = lambda: pl.BlockSpec(
-        (1, RAY_TILE, 1), lambda p, m: (m[p] >> TILE_SHIFT, 0, 0))
+        (1, RAY_TILE, 1), lambda p, m, tn: (m[p] >> TILE_SHIFT, 0, 0))
     ray_spec = lambda: pl.BlockSpec(
-        (RAY_TILE, 24), lambda p, m: (m[p] >> TILE_SHIFT, 0))
+        (RAY_TILE, 24), lambda p, m, tn: (m[p] >> TILE_SHIFT, 0))
     bw_spec = pl.BlockSpec(
-        (1, 24, 3 * TREELET), lambda p, m: (m[p] & TREELET_MASK, 0, 0))
+        (1, 24, 3 * TREELET), lambda p, m, tn: (m[p] & TREELET_MASK, 0, 0))
     specs = [ray_spec(), ray_spec()]
-    if tnear3 is not None:
-        specs.insert(0, pl.BlockSpec(
-            (1, 1, tnear3.shape[-1]), lambda p, m: (m[p] >> TILE_SHIFT, 0, 0)))
 
     n_carry = len(carry_in)
     out_shape = [jax.ShapeDtypeStruct((n_tiles, RAY_TILE, 1), c.dtype)
@@ -455,18 +505,17 @@ def _sweep_chunks(kernel, meta, n_pairs, tnear3, a6, d6, carry_in,
 
     carry = tuple(st(c) for c in carry_in)
     extra = [st(x) for x in extra_inputs]
+    tnear_bits = jax.lax.bitcast_convert_type(tnear_pair, jnp.int32)
     for c in range(n_chunks):
         meta_c = jax.lax.dynamic_slice(meta, (c * chunk,), (chunk,))
-        inputs = (
-            ([tnear3] if tnear3 is not None else [])
-            + [a6, d6] + extra + list(carry) + [tl.bw]
-        )
+        tn_c = jax.lax.dynamic_slice(tnear_bits, (c * chunk,), (chunk,))
+        inputs = [a6, d6] + extra + list(carry) + [tl.bw]
         if interpret:
             g = chunk
         else:
             g = jnp.clip(n_pairs - c * chunk, 1, chunk)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(g,),
             in_specs=in_specs,
             out_specs=[state_spec() for _ in range(n_carry)],
@@ -476,7 +525,7 @@ def _sweep_chunks(kernel, meta, n_pairs, tnear3, a6, d6, carry_in,
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(meta_c, *inputs))
+        )(meta_c, tn_c, *inputs))
     return carry
 
 
@@ -514,17 +563,11 @@ def closest_hit_packets(
 
     keys = ray_sort_keys(o, d, world_lo, world_hi)
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(keys)
-    inv_order = jnp.argsort(order)
-    os_ = o[order]
-    ds = d[order]
-    ts = t_max[order]
+    order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
 
     mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
     meta, n_pairs = _build_pairs(mask, tnear)
-    t_pad = -(-n_treelets // 128) * 128
-    tnear3 = jnp.full((n_tiles, 1, t_pad), 3.0e37, jnp.float32)
-    tnear3 = tnear3.at[:, 0, :n_treelets].set(tnear)
+    tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
 
     a6, d6 = _ray_matrices(os_, ds)
     carry_in = (ts, jnp.full((n_pad,), -1, jnp.int32),
@@ -532,14 +575,14 @@ def closest_hit_packets(
                 jnp.zeros((n_pad,), jnp.float32))
 
     t_res, tri, b1, b2 = _sweep_chunks(
-        _closest_pairs_kernel, meta, n_pairs, tnear3, a6, d6, carry_in,
+        _closest_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6, carry_in,
         [], tl, n_tiles, interpret)
 
     # unsort and strip padding
-    t_res = t_res.reshape(-1)[inv_order][:n]
-    tri = tri.reshape(-1)[inv_order][:n]
-    b1 = b1.reshape(-1)[inv_order][:n]
-    b2 = b2.reshape(-1)[inv_order][:n]
+    t_res, b1, b2, tri = _unsort_hits(
+        order, n_pad, t_res.reshape(-1), b1.reshape(-1), b2.reshape(-1),
+        tri.reshape(-1))
+    t_res, tri, b1, b2 = t_res[:n], tri[:n], b1[:n], b2[:n]
     return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
 
 
@@ -569,22 +612,20 @@ def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
     if group is not None:
         keys = ((group.astype(jnp.uint32) & jnp.uint32(63)) << 26) | (keys >> 6)
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(keys)
-    inv_order = jnp.argsort(order)
-    os_ = o[order]
-    ds = d[order]
-    ts = t_max[order]
+    order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
 
     mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
     meta, n_pairs = _build_pairs(mask, tnear)
+    tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
 
     a6, d6 = _ray_matrices(os_, ds)
     occ0 = (ts <= 0.0).astype(jnp.int32)
 
     (occ,) = _sweep_chunks(
-        _occlusion_pairs_kernel, meta, n_pairs, None, a6, d6, (occ0,),
+        _occlusion_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6, (occ0,),
         [ts], tl, n_tiles, interpret)
 
-    occ = occ.reshape(-1)[inv_order][:n]
+    # unsort by direct scatter (no inverse permutation needed for one column)
+    occ = jnp.zeros((n_pad,), jnp.int32).at[order].set(occ.reshape(-1))[:n]
     # lanes pre-resolved by t_max <= 0 (inactive/padding) are not occluded
     return (occ > 0) & (t_max[:n] > 0.0)
