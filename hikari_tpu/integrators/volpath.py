@@ -98,7 +98,15 @@ def scene_any_hit(scene: SceneData, o, d, t_max, active=None, group=None):
 
 @dataclass(frozen=True)
 class VolPath:
-    """Config mirrors the reference's keyword set (volpath.jl:75-101)."""
+    """Config mirrors the reference's keyword set (volpath.jl:75-101).
+
+    material_coherence: 'none' evaluates every present material type
+    densely over all lanes each bounce; 'gated' wraps each type in a
+    lax.cond so types with NO occupant lanes this bounce skip entirely at
+    runtime — the TPU translation of the reference's :per_type queue
+    launches (multi-material-eval.jl:58-445), where an empty queue costs
+    nothing. Gating wins for scenes with many material types that appear
+    on few surfaces; 'none' compiles smaller programs."""
 
     max_depth: int = 5
     samples_per_pixel: int = 16
@@ -106,121 +114,120 @@ class VolPath:
     regularize: bool = False
     max_component_value: float = 1e6  # firefly clamp
     seed: int = 0
+    material_coherence: str = "none"  # 'none' | 'gated' 
 
 
 # --- material dispatch helpers ------------------------------------------------
 
 
 def _sample_bsdf_dispatch(
-    scene: SceneData, mat_type, mat_idx, wo, lam, u2, uc, regularize, tex=None
+    scene: SceneData, mat_type, mat_idx, wo, lam, u2, uc, regularize, tex=None,
+    coherence: str = "none",
 ):
-    """Dense per-type BSDF sampling, selected by tag (multi-material-eval's
-    :none mode; sorted batching is a later optimization)."""
+    """Per-type BSDF sampling, selected by tag. coherence='none' is the
+    multi-material-eval :none mode (dense evaluation of every present
+    type); 'gated' skips unoccupied types at runtime via lax.cond (the
+    :per_type empty-queue behavior)."""
     table = scene.rgb2spec
     banks = scene.materials
     out = mb._invalid(mat_type.shape)
 
-    def merge(out, s, type_tag):
+    def merge(out, s_fn, type_tag):
         m = mat_type == type_tag
-        return mb.BSDFSample(
-            wi=jnp.where(m[..., None], s.wi, out.wi),
-            f=jnp.where(m[..., None], s.f, out.f),
-            pdf=jnp.where(m, s.pdf, out.pdf),
-            specular=jnp.where(m, s.specular, out.specular),
-            transmission=jnp.where(m, s.transmission, out.transmission),
-            eta_scale=jnp.where(m, s.eta_scale, out.eta_scale),
-            valid=jnp.where(m, s.valid, out.valid),
-        )
+
+        def apply(o):
+            s = s_fn()
+            return mb.BSDFSample(
+                wi=jnp.where(m[..., None], s.wi, o.wi),
+                f=jnp.where(m[..., None], s.f, o.f),
+                pdf=jnp.where(m, s.pdf, o.pdf),
+                specular=jnp.where(m, s.specular, o.specular),
+                transmission=jnp.where(m, s.transmission, o.transmission),
+                eta_scale=jnp.where(m, s.eta_scale, o.eta_scale),
+                valid=jnp.where(m, s.valid, o.valid),
+            )
+
+        if coherence == "gated":
+            return jax.lax.cond(jnp.any(m), apply, lambda o: o, out)
+        return apply(out)
 
     present = scene.present_materials
     if mt.MATTE in present:
-        out = merge(out, mb.sample_matte(banks, mat_idx, table, wo, lam, u2, uc, tex), mt.MATTE)
+        out = merge(out, lambda: mb.sample_matte(
+            banks, mat_idx, table, wo, lam, u2, uc, tex), mt.MATTE)
     if mt.MIRROR in present:
-        out = merge(out, mb.sample_mirror(banks, mat_idx, table, wo, lam, u2, uc, tex), mt.MIRROR)
+        out = merge(out, lambda: mb.sample_mirror(
+            banks, mat_idx, table, wo, lam, u2, uc, tex), mt.MIRROR)
     if mt.GLASS in present:
-        out = merge(
-            out,
-            mb.sample_glass(banks, mat_idx, table, wo, lam, u2, uc, tex, regularize),
-            mt.GLASS,
-        )
+        out = merge(out, lambda: mb.sample_glass(
+            banks, mat_idx, table, wo, lam, u2, uc, tex, regularize), mt.GLASS)
     if mt.CONDUCTOR in present:
-        out = merge(
-            out,
-            mb.sample_conductor(banks, mat_idx, table, wo, lam, u2, uc, regularize, tex),
-            mt.CONDUCTOR,
-        )
+        out = merge(out, lambda: mb.sample_conductor(
+            banks, mat_idx, table, wo, lam, u2, uc, regularize, tex),
+            mt.CONDUCTOR)
     if mt.THIN_DIELECTRIC in present:
-        out = merge(
-            out,
-            mb.sample_thin_dielectric(banks, mat_idx, table, wo, lam, u2, uc, tex),
-            mt.THIN_DIELECTRIC,
-        )
+        out = merge(out, lambda: mb.sample_thin_dielectric(
+            banks, mat_idx, table, wo, lam, u2, uc, tex), mt.THIN_DIELECTRIC)
     if mt.DIFFUSE_TRANSMISSION in present:
-        out = merge(
-            out,
-            mb.sample_diffuse_transmission(banks, mat_idx, table, wo, lam, u2, uc, tex),
-            mt.DIFFUSE_TRANSMISSION,
-        )
+        out = merge(out, lambda: mb.sample_diffuse_transmission(
+            banks, mat_idx, table, wo, lam, u2, uc, tex),
+            mt.DIFFUSE_TRANSMISSION)
     if mt.COATED_DIFFUSE in present:
         from ..materials import layered as ml
 
-        out = merge(
-            out,
-            ml.sample_coated_diffuse(banks, mat_idx, table, wo, lam, u2, uc, tex),
-            mt.COATED_DIFFUSE,
-        )
+        out = merge(out, lambda: ml.sample_coated_diffuse(
+            banks, mat_idx, table, wo, lam, u2, uc, tex), mt.COATED_DIFFUSE)
     if mt.COATED_CONDUCTOR in present:
         from ..materials import layered as ml
 
-        out = merge(
-            out,
-            ml.sample_coated_conductor(banks, mat_idx, table, wo, lam, u2, uc, tex),
-            mt.COATED_CONDUCTOR,
-        )
+        out = merge(out, lambda: ml.sample_coated_conductor(
+            banks, mat_idx, table, wo, lam, u2, uc, tex), mt.COATED_CONDUCTOR)
     if mt.COATED_DIFFUSE_TRANSMISSION in present:
         from ..materials import layered as ml
 
-        out = merge(
-            out,
-            ml.sample_coated_diffuse_transmission(
-                banks, mat_idx, table, wo, lam, u2, uc, tex
-            ),
-            mt.COATED_DIFFUSE_TRANSMISSION,
-        )
+        out = merge(out, lambda: ml.sample_coated_diffuse_transmission(
+            banks, mat_idx, table, wo, lam, u2, uc, tex),
+            mt.COATED_DIFFUSE_TRANSMISSION)
     return out
 
 
 def _eval_bsdf_dispatch(
     scene: SceneData, mat_type, mat_idx, wo, wi, lam, regularize, tex=None,
-    eval_u2=None, eval_uc=None,
+    eval_u2=None, eval_uc=None, coherence: str = "none",
 ):
     """(f, pdf) for NEE MIS; zero for specular-only materials. eval_u2 /
-    eval_uc drive the stochastic layered-material evaluation."""
+    eval_uc drive the stochastic layered-material evaluation. coherence
+    as in _sample_bsdf_dispatch ('gated' skips unoccupied types)."""
     table = scene.rgb2spec
     banks = scene.materials
     f = jnp.zeros(lam.shape, jnp.float32)
     pdf = jnp.zeros(mat_type.shape, jnp.float32)
+
+    def put(f, pdf, fn, type_tag):
+        m = mat_type == type_tag
+
+        def apply(fp):
+            f0, p0 = fp
+            fe, pe = fn()
+            return (jnp.where(m[..., None], fe, f0), jnp.where(m, pe, p0))
+
+        if coherence == "gated":
+            return jax.lax.cond(jnp.any(m), apply, lambda fp: fp, (f, pdf))
+        return apply((f, pdf))
+
     present = scene.present_materials
     if mt.MATTE in present:
-        fm, pm = mb.eval_matte(banks, mat_idx, table, wo, wi, lam, tex)
-        m = mat_type == mt.MATTE
-        f = jnp.where(m[..., None], fm, f)
-        pdf = jnp.where(m, pm, pdf)
+        f, pdf = put(f, pdf, lambda: mb.eval_matte(
+            banks, mat_idx, table, wo, wi, lam, tex), mt.MATTE)
     if mt.CONDUCTOR in present:
-        fc, pc = mb.eval_conductor(banks, mat_idx, table, wo, wi, lam, regularize, tex)
-        m = mat_type == mt.CONDUCTOR
-        f = jnp.where(m[..., None], fc, f)
-        pdf = jnp.where(m, pc, pdf)
+        f, pdf = put(f, pdf, lambda: mb.eval_conductor(
+            banks, mat_idx, table, wo, wi, lam, regularize, tex), mt.CONDUCTOR)
     if mt.GLASS in present:
-        fg, pg = mb.eval_glass(banks, mat_idx, table, wo, wi, lam, regularize, tex)
-        m = mat_type == mt.GLASS
-        f = jnp.where(m[..., None], fg, f)
-        pdf = jnp.where(m, pg, pdf)
+        f, pdf = put(f, pdf, lambda: mb.eval_glass(
+            banks, mat_idx, table, wo, wi, lam, regularize, tex), mt.GLASS)
     if mt.DIFFUSE_TRANSMISSION in present:
-        fd, pd = mb.eval_diffuse_transmission(banks, mat_idx, table, wo, wi, lam, tex)
-        m = mat_type == mt.DIFFUSE_TRANSMISSION
-        f = jnp.where(m[..., None], fd, f)
-        pdf = jnp.where(m, pd, pdf)
+        f, pdf = put(f, pdf, lambda: mb.eval_diffuse_transmission(
+            banks, mat_idx, table, wo, wi, lam, tex), mt.DIFFUSE_TRANSMISSION)
     if eval_u2 is not None and (
         mt.COATED_DIFFUSE in present or mt.COATED_CONDUCTOR in present
         or mt.COATED_DIFFUSE_TRANSMISSION in present
@@ -228,26 +235,17 @@ def _eval_bsdf_dispatch(
         from ..materials import layered as ml
 
         if mt.COATED_DIFFUSE in present:
-            fc_, pc_ = ml.eval_coated_diffuse(
-                banks, mat_idx, table, wo, wi, lam, eval_u2, eval_uc, tex
-            )
-            m = mat_type == mt.COATED_DIFFUSE
-            f = jnp.where(m[..., None], fc_, f)
-            pdf = jnp.where(m, pc_, pdf)
+            f, pdf = put(f, pdf, lambda: ml.eval_coated_diffuse(
+                banks, mat_idx, table, wo, wi, lam, eval_u2, eval_uc, tex),
+                mt.COATED_DIFFUSE)
         if mt.COATED_CONDUCTOR in present:
-            fc_, pc_ = ml.eval_coated_conductor(
-                banks, mat_idx, table, wo, wi, lam, eval_u2, eval_uc, tex
-            )
-            m = mat_type == mt.COATED_CONDUCTOR
-            f = jnp.where(m[..., None], fc_, f)
-            pdf = jnp.where(m, pc_, pdf)
+            f, pdf = put(f, pdf, lambda: ml.eval_coated_conductor(
+                banks, mat_idx, table, wo, wi, lam, eval_u2, eval_uc, tex),
+                mt.COATED_CONDUCTOR)
         if mt.COATED_DIFFUSE_TRANSMISSION in present:
-            fc_, pc_ = ml.eval_coated_diffuse_transmission(
-                banks, mat_idx, table, wo, wi, lam, eval_u2, eval_uc, tex
-            )
-            m = mat_type == mt.COATED_DIFFUSE_TRANSMISSION
-            f = jnp.where(m[..., None], fc_, f)
-            pdf = jnp.where(m, pc_, pdf)
+            f, pdf = put(f, pdf, lambda: ml.eval_coated_diffuse_transmission(
+                banks, mat_idx, table, wo, wi, lam, eval_u2, eval_uc, tex),
+                mt.COATED_DIFFUSE_TRANSMISSION)
     return f, pdf
 
 
@@ -842,7 +840,7 @@ def render_lanes(
             uce = sb.path_sample_1d(zcfg, px, py, si, depth, 9)
             f_s, pdf_s = _eval_bsdf_dispatch(
                 scene, sd["mat_type"], sd["mat_idx"], wo_l, wi_l, lam, reg,
-                sd["tex"], u2e, uce,
+                sd["tex"], u2e, uce, coherence=vp.material_coherence,
             )
             f_hat_s = f_s * jnp.abs(wi_l[..., 2])[..., None]
             # medium lanes: phase function value (= its pdf)
@@ -885,7 +883,8 @@ def render_lanes(
         wo_l = to_local(t, b, nrm, wo)
         reg = any_nonspec if vp.regularize else None
         bs = _sample_bsdf_dispatch(
-            scene, sd["mat_type"], sd["mat_idx"], wo_l, lam, ub, uc, reg, sd["tex"]
+            scene, sd["mat_type"], sd["mat_idx"], wo_l, lam, ub, uc, reg,
+            sd["tex"], coherence=vp.material_coherence,
         )
         wi_surf = to_world(t, b, nrm, bs.wi)
         cos_i = jnp.abs(bs.wi[..., 2])

@@ -177,3 +177,37 @@ def test_dispersion_rainbow():
 
     s_d, s_n = sat(img_d), sat(img_n)
     assert s_d > 1.3 * s_n, (s_d, s_n)
+
+
+def test_material_coherence_gated_matches_none():
+    """VolPath(material_coherence='gated') wraps each material type in a
+    runtime lax.cond (the reference :per_type empty-queue semantics,
+    multi-material-eval.jl:58-445) and must render identically to the
+    dense 'none' mode."""
+    import numpy as np
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import VolPath, render
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import CoatedDiffuse, Glass, Gold, Matte
+    from hikari_tpu.scene.mesh import make_quad, make_sphere
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    s.add(make_quad((-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)),
+          Matte(kd=(0.6,) * 3))
+    s.add(make_sphere((-0.6, 0.4, 0), 0.4, 8, 16), Glass(eta=1.5))
+    s.add(make_sphere((0.6, 0.4, 0), 0.4, 8, 16), Gold(roughness=0.2))
+    s.add(make_sphere((0.0, 0.35, -0.9), 0.35, 8, 16),
+          CoatedDiffuse(reflectance=(0.7, 0.2, 0.2), roughness=0.1))
+    s.add_light(PointLight(position=(1, 3, -2), intensity=(20,) * 3))
+    scene = s.build()
+    cam = make_perspective_camera((0, 1.2, -2.6), (0, 0.3, 0), (24, 24),
+                                  fov_deg=50.0)
+    a = np.asarray(framebuffer(render(
+        VolPath(max_depth=3, samples_per_pixel=4,
+                material_coherence="none"), scene, cam)))
+    b = np.asarray(framebuffer(render(
+        VolPath(max_depth=3, samples_per_pixel=4,
+                material_coherence="gated"), scene, cam)))
+    assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()
