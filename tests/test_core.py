@@ -113,3 +113,23 @@ def test_rays_pytree_through_jit():
 
     out = f(r)
     np.testing.assert_allclose(out, 2.0 * jnp.ones((4, 3)))
+
+
+def test_profiling_stage_timings():
+    """utils.profiling measures per-stage wall clock on a tiny scene."""
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.integrators.volpath import VolPath
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import Matte
+    from hikari_tpu.scene.mesh import make_quad
+    from hikari_tpu.scene.scene import Scene
+    from hikari_tpu.utils import profiling
+
+    s = Scene()
+    s.add(make_quad((-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)), Matte())
+    s.add_light(PointLight(position=(0, 2, 0), intensity=(5,) * 3))
+    cam = make_perspective_camera((0, 1, -2), (0, 0, 0), (16, 16), fov_deg=45)
+    t = profiling.stage_timings(s.build(), cam,
+                                vp=VolPath(max_depth=2, samples_per_pixel=4))
+    assert set(t) == {"step", "closest_primary", "anyhit_primary"}
+    assert all(v > 0 for v in t.values())
