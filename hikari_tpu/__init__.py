@@ -27,6 +27,10 @@ __version__ = "0.2.0"
 
 # scene & geometry
 from .scene.scene import Scene, SceneData
+from .core.transform import (
+    Transform, from_matrix, identity, look_at, perspective, rotate,
+    rotate_x, rotate_y, rotate_z, scale, translate,
+)
 from .scene.mesh import (
     TriangleMesh, compute_vertex_normals, load_obj, make_box, make_quad,
     make_sphere,
@@ -63,6 +67,9 @@ from .media.noise import fbm3d, generate_cloud_density, perlin3d, worley3d
 from .camera.camera import (
     PerspectiveCamera, make_matrix_camera, make_perspective_camera,
 )
+
+# ray queries (Raycore closest_hit/any_hit re-export parity, Hikari.jl:22-37)
+from .integrators.volpath import scene_any_hit, scene_closest_hit
 
 # integrators
 from .integrators.volpath import VolPath, render, render_aux

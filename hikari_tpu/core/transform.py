@@ -26,6 +26,10 @@ class Transform:
         """self ∘ other (apply other first)."""
         return Transform(self.m @ other.m, other.m_inv @ self.m_inv)
 
+    def __matmul__(self, other: "Transform") -> "Transform":
+        """`a @ b` composes like the reference's `a * b` (apply b first)."""
+        return self.compose(other)
+
     def apply_point(self, p: jnp.ndarray) -> jnp.ndarray:
         r = jnp.einsum("...ij,...j->...i", self.m[..., :3, :3], p) + self.m[..., :3, 3]
         w = jnp.einsum("...j,...j->...", self.m[..., 3, :3], p) + self.m[..., 3, 3]

@@ -98,6 +98,11 @@ def build_instanced_treelets(
         a = np.linalg.inv(m).T  # last column [0,0,0,1]^T by construction
         mats.append(a.astype(np.float32))
 
+    n_world = sum(len(x) for x in obj_l)
+    assert n_world < (1 << 20), (
+        f"{n_world} world treelets exceed the 20-bit pair-metadata field; "
+        "reduce instance count or raise TREELET"
+    )
     return InstancedTreelets(
         lo=jnp.asarray(np.concatenate(lo_l)),
         hi=jnp.asarray(np.concatenate(hi_l)),

@@ -60,7 +60,8 @@ from .traverse import HitRecord
 
 import os as _os
 
-RAY_TILE = 1024    # rays per packet = 8 sublane rows x 128 lanes
+# rays per packet (sublane rows x 128 lanes); overridable for perf sweeps
+RAY_TILE = int(_os.environ.get("HIKARI_RAY_TILE", "1024"))
 LANES = 128
 ROWS = RAY_TILE // LANES
 # triangles per treelet (TT); overridable for perf sweeps
