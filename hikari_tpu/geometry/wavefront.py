@@ -300,7 +300,16 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
 
     t_near = jnp.max(axis_enter_lo, axis=-1)   # (n_subtiles, T)
     t_far = jnp.min(axis_exit_hi, axis=-1)
-    m = (t_near <= t_far * 1.0001) & (t_far > 0.0) & (t_near <= t_hi[:, None])
+    # (t_hi > 0) culls all-dead sub-tiles outright: their lanes carry
+    # incoherent leftover directions, so every axis is mixed-sign, the slab
+    # interval degenerates to (-inf, inf), and t_near=-inf <= t_hi=0 would
+    # otherwise pair the dead tile with EVERY treelet (measured: 95k junk
+    # pairs of 132k at bounce 2, ~3 us grid overhead each even when the
+    # kernel's @pl.when skips the work)
+    m = (
+        (t_near <= t_far * 1.0001) & (t_far > 0.0)
+        & (t_near <= t_hi[:, None]) & (t_hi > 0.0)[:, None]
+    )
     # union of the sub-frustum tests per kernel tile; the tile's
     # conservative entry distance is the min over its live sub-frusta
     m = m.reshape(n_tiles // sub, sub, -1)
