@@ -300,6 +300,19 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
 
     t_near = jnp.max(axis_enter_lo, axis=-1)   # (n_subtiles, T)
     t_far = jnp.min(axis_exit_hi, axis=-1)
+    # Direction-independent entry bound: with unit directions, a ray from
+    # inside the sub-tile's origin bbox needs t >= L2(origin bbox, treelet
+    # AABB) to reach the treelet. Incoherent (bounce) sub-tiles are
+    # mixed-sign on every axis, which voids the slab bound entirely
+    # (t_near = -inf): without this, their pair lists have no front-to-back
+    # order and the sweep kernels' early-outs never fire. The 0.999 margin
+    # absorbs directions that are unit only to fp round-off.
+    gap = (
+        jnp.maximum(lo - o_hi[:, None, :], 0.0)
+        + jnp.maximum(o_lo[:, None, :] - hi, 0.0)
+    )
+    dist = jnp.sqrt(jnp.sum(gap * gap, axis=-1)) * 0.999
+    t_near = jnp.maximum(t_near, dist)
     # (t_hi > 0) culls all-dead sub-tiles outright: their lanes carry
     # incoherent leftover directions, so every axis is mixed-sign, the slab
     # interval degenerates to (-inf, inf), and t_near=-inf <= t_hi=0 would
