@@ -80,6 +80,18 @@ class Treelets:
     lo: jnp.ndarray   # (T, 3) treelet AABB min
     hi: jnp.ndarray   # (T, 3)
     bw: jnp.ndarray   # (T, 24, 3*TT) bf16 split affine coefficients
+    tri: jnp.ndarray  # (T*TT, 9) f32 rows [p0 | e1 | e2] for the exact
+    #                 # per-lane hit resolve after the sweep
+
+
+# winner-index bits packed into the low mantissa of the quantized-t sort
+# key inside the closest kernel (see _closest_pairs_kernel)
+COL_BITS = max(8, (TREELET - 1).bit_length())
+COL_MASK = (1 << COL_BITS) - 1
+# banded two-pass closest sweep: pass-1 reach as a fraction of the world
+# diagonal (0 disables); see closest_hit_packets(band=...). Off by default
+# until measured on hardware — correctness is test-pinned either way.
+BAND_FRAC = float(_os.environ.get("HIKARI_BAND_FRAC", "0.0"))
 
 
 def _split3_cols(m: np.ndarray) -> np.ndarray:
@@ -153,9 +165,15 @@ def build_treelets(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> Treelets:
     bw = jnp.stack([_split3_cols(m4[i]) for i in range(t)]) if t <= 1 else \
         jax.vmap(_split3_cols)(jnp.asarray(m4))
 
+    tri = np.concatenate(
+        [p0p, p1p.astype(np.float64) - q0, p2p.astype(np.float64) - q0],
+        axis=1,
+    ).astype(np.float32)
+
     return Treelets(
         lo=jnp.asarray(lo), hi=jnp.asarray(hi),
         bw=jnp.asarray(bw, jnp.bfloat16),
+        tri=jnp.asarray(tri),
     )
 
 
@@ -261,10 +279,14 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
     dt = d.reshape(n_tiles, br, 3)
     tmt = t_max.reshape(n_tiles, br)
 
-    o_lo = ot.min(1)            # (n_tiles, 3)
-    o_hi = ot.max(1)
-    d_lo = dt.min(1)
-    d_hi = dt.max(1)
+    # dead lanes (t_max == 0) carry leftover origins/directions; exclude
+    # them from every bbox so mixed live/dead sub-tiles stay tight (the
+    # all-dead case is culled outright by t_hi > 0 below)
+    live = (tmt > 0.0)[..., None]
+    o_lo = jnp.where(live, ot, 3.0e37).min(1)   # (n_tiles, 3)
+    o_hi = jnp.where(live, ot, -3.0e37).max(1)
+    d_lo = jnp.where(live, dt, 3.0e37).min(1)
+    d_hi = jnp.where(live, dt, -3.0e37).max(1)
     t_hi = jnp.minimum(tmt.max(1), 3.0e37)  # (n_tiles,)
 
     sign_uniform = (d_lo * d_hi) > 0.0      # (n_tiles, 3)
@@ -313,6 +335,21 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
     )
     dist = jnp.sqrt(jnp.sum(gap * gap, axis=-1)) * 0.999
     t_near = jnp.maximum(t_near, dist)
+    # Segment-bbox cull: every point o + s*d, s in [0, t_max], lies in
+    # AABB(origins ∪ endpoints) — convexity, no unit-d assumption. For
+    # distance-capped rays whose direction signs are mixed per axis
+    # (shadow rays CONVERGING on a light void the slab bound entirely),
+    # this is the only bound that knows the rays END somewhere: treelets
+    # beyond the light cluster cull even though the direction interval
+    # spans the sphere. Unbounded rays get world-scale endpoint boxes and
+    # lose nothing.
+    ep = ot + dt * tmt[..., None]
+    seg_lo = jnp.minimum(o_lo, jnp.where(live, ep, 3.0e37).min(1))
+    seg_hi = jnp.maximum(o_hi, jnp.where(live, ep, -3.0e37).max(1))
+    pad = 1e-3 + 1e-4 * jnp.maximum(jnp.abs(seg_lo), jnp.abs(seg_hi))
+    seg_ok = (
+        (lo <= (seg_hi + pad)[:, None, :]) & (hi >= (seg_lo - pad)[:, None, :])
+    ).all(-1)
     # (t_hi > 0) culls all-dead sub-tiles outright: their lanes carry
     # incoherent leftover directions, so every axis is mixed-sign, the slab
     # interval degenerates to (-inf, inf), and t_near=-inf <= t_hi=0 would
@@ -322,6 +359,7 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
     m = (
         (t_near <= t_far * 1.0001) & (t_far > 0.0)
         & (t_near <= t_hi[:, None]) & (t_hi > 0.0)[:, None]
+        & seg_ok
     )
     # union of the sub-frustum tests per kernel tile; the tile's
     # conservative entry distance is the min over its live sub-frusta
@@ -386,9 +424,22 @@ def _bw_block(a6, d6, m6):
 
 
 def _closest_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
-                          ti_ref, tri_i_ref, b1_i_ref, b2_i_ref,
+                          key_i_ref, tr_i_ref,
                           bw_ref,
-                          t_ref, tri_ref, b1_ref, b2_ref):
+                          key_ref, tr_ref):
+    """Closest-hit sweep with a bit-packed carry: the VPU issue rate is the
+    kernel's bottleneck (measured: the two MXU matmuls + a min-reduce cost
+    0.22 us/pair while the elementwise epilogue cost ~3.8 us), so the
+    winner bookkeeping is one int32 key per lane instead of four carries
+    with a one-hot u/v extraction.
+
+    key = (bitcast(t_cand) & ~COL_MASK) | column: positive IEEE floats
+    order like their int bit patterns, so min(key) picks the (quantized-t,
+    column) winner in a single reduce. The low COL_BITS mantissa bits are
+    sacrificed to the column index (ties within 2^-16 relative t pick an
+    arbitrary but consistent winner); the exact t/u/v of the winning
+    triangle are recomputed per-lane AFTER the sweep (one row gather +
+    Moller-Trumbore, ~2 ms per call instead of ~1.3 us per pair)."""
     p = pl.program_id(0)
     m = meta_ref[p]
     tile = m >> TILE_SHIFT
@@ -397,17 +448,15 @@ def _closest_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
 
     @pl.when((p == 0) | (tile != prev_tile))
     def _init():  # first pair of this tile: load carried hit state
-        t_ref[0] = ti_ref[0]
-        tri_ref[0] = tri_i_ref[0]
-        b1_ref[0] = b1_i_ref[0]
-        b2_ref[0] = b2_i_ref[0]
+        key_ref[0] = key_i_ref[0]
+        tr_ref[0] = tr_i_ref[0]
 
     # conservative front-to-back early-out: skip the treelet if its entry
-    # distance cannot beat the worst lane's current best. tnear rides the
-    # scalar-prefetch SMEM as raw f32 bits; non-negative IEEE floats order
-    # like their signed bit patterns, so the compare runs in int space
-    # (Mosaic has no scalar bitcast).
-    thr_bits = jnp.max(jax.lax.bitcast_convert_type(t_ref[0], jnp.int32))
+    # distance cannot beat the worst lane's current best. The key's low
+    # index bits are forced to 1 so the threshold rounds the quantized t
+    # UP (skipping must stay conservative); tnear rides the
+    # scalar-prefetch SMEM as raw f32 bits compared in int space.
+    thr_bits = jnp.max(key_ref[0] | COL_MASK)
 
     @pl.when(tnear_ref[p] < thr_bits)
     def _work():
@@ -418,22 +467,14 @@ def _closest_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
             & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
             & (t > 1e-4)
         )
-        t_best = t_ref[0]                                    # (RAY_TILE, 1)
         t_cand = jnp.where(hit, t, 3.0e38)
-        t_new = jnp.min(t_cand, axis=-1, keepdims=True)
+        bits = jax.lax.bitcast_convert_type(t_cand, jnp.int32)
         cols = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1)
-        j = jnp.min(
-            jnp.where(t_cand <= t_new, cols, jnp.int32(2**30)),
-            axis=-1, keepdims=True,
-        )
-        onehot = (cols == j).astype(t.dtype)
-        u_new = jnp.sum(u * onehot, axis=-1, keepdims=True)
-        v_new = jnp.sum(v * onehot, axis=-1, keepdims=True)
-        better = t_new < t_best
-        t_ref[0] = jnp.where(better, t_new, t_best)
-        tri_ref[0] = jnp.where(better, treelet * TREELET + j, tri_ref[0])
-        b1_ref[0] = jnp.where(better, u_new, b1_ref[0])
-        b2_ref[0] = jnp.where(better, v_new, b2_ref[0])
+        key = (bits & ~COL_MASK) | cols
+        key_new = jnp.min(key, axis=-1, keepdims=True)
+        better = key_new < key_ref[0]
+        key_ref[0] = jnp.where(better, key_new, key_ref[0])
+        tr_ref[0] = jnp.where(better, treelet, tr_ref[0])
 
 
 def _occlusion_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
@@ -464,6 +505,34 @@ def _occlusion_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
             & (t > 1e-4) & (t < tmax_ref[0])
         )
         occ_ref[0] = occ_ref[0] | jnp.any(hit, axis=-1, keepdims=True).astype(jnp.int32)
+
+
+def _resolve_hits(tl: Treelets, key, tr, os_, ds):
+    """Post-sweep exact resolve (sorted order): the kernel carries only the
+    (quantized-t | column) key and winning treelet id; here the winning
+    triangle's exact t and barycentrics are recomputed per lane in f32
+    Moller-Trumbore from one (n, 9) row gather. Miss lanes (tr < 0) fall
+    back to the quantized t (callers only read t on hit lanes)."""
+    col = key & COL_MASK
+    tri = jnp.where(tr >= 0, tr * TREELET + col, -1)
+    rows = tl.tri[jnp.maximum(tri, 0)]          # (n, 9) row gather
+    p0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    pvec = jnp.cross(ds, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    tvec = os_ - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(ds * qvec, axis=-1) * inv
+    t = jnp.sum(e2 * qvec, axis=-1) * inv
+    # quantized fallback: the key's high bits bitcast back to ~t (within
+    # 2^-16 relative), covering degenerate recompute corner cases
+    t_q = jax.lax.bitcast_convert_type(key & ~COL_MASK, jnp.float32)
+    ok = jnp.isfinite(t) & (t > 0.0)
+    t = jnp.where(ok, t, t_q)
+    u = jnp.clip(jnp.where(ok, u, 0.0), 0.0, 1.0)
+    v = jnp.clip(jnp.where(ok, v, 0.0), 0.0, 1.0)
+    return t, u, v, tri
 
 
 def _pad_rays(o, d, t_max):
@@ -526,6 +595,16 @@ def _sweep_chunks(kernel, meta, n_pairs, tnear_pair, a6, d6, carry_in,
     def st(x):  # (n_pad,) -> (n_tiles, RAY_TILE, 1)
         return x.reshape(n_tiles, RAY_TILE, 1)
 
+    # Alias each carry input onto its output buffer: blocks of tiles with
+    # ZERO pairs in a chunk are never visited by the grid, and a fresh
+    # output buffer would replace their carried hit state with
+    # uninitialized memory. Aliasing makes unvisited blocks pass through —
+    # the kernel reuses the carry buffer in place (verified in interpret;
+    # tools/check_tpu_consistency.py pins the compiled Mosaic behavior on
+    # hardware). Alias indices count the scalar-prefetch operands.
+    carry0 = 2 + 2 + len(extra_inputs)
+    aliases = {carry0 + i: i for i in range(n_carry)}
+
     carry = tuple(st(c) for c in carry_in)
     extra = [st(x) for x in extra_inputs]
     tnear_bits = jax.lax.bitcast_convert_type(tnear_pair, jnp.int32)
@@ -546,6 +625,7 @@ def _sweep_chunks(kernel, meta, n_pairs, tnear_pair, a6, d6, carry_in,
         carry = tuple(pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
+            input_output_aliases=aliases,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(meta_c, tn_c, *inputs))
@@ -567,7 +647,7 @@ def _world_exit_clamp(o, d, t_max, world_lo, world_hi):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def closest_hit_packets(
     tl: Treelets, o, d, t_max, world_lo, world_hi, interpret: bool = False,
-    active=None,
+    active=None, band=None,
 ) -> HitRecord:
     """Sorted-packet closest hit over the compacted pair list. o/d (R,3),
     t_max (R,). Returns HitRecord with tri indices into the BVH leaf order
@@ -575,7 +655,11 @@ def closest_hit_packets(
 
     active: optional (R,) bool — inactive lanes sort into their own tiles
     with t_max 0, which the culling pass drops entirely, so the sweep cost
-    tracks the live-path count as paths terminate."""
+    tracks the live-path count as paths terminate.
+
+    band: optional f32 scalar — run the sweep as a banded two-pass (near
+    hits resolved within `band` first, the remainder at full reach); see
+    the inline comment. Worth it for incoherent bounce wavefronts."""
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37)
     t_max = _world_exit_clamp(o, d, t_max, world_lo, world_hi)
     if active is not None:
@@ -588,23 +672,55 @@ def closest_hit_packets(
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
     order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
 
-    mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
-    meta, n_pairs = _build_pairs(mask, tnear)
-    tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
-
     a6, d6 = _ray_matrices(os_, ds)
-    carry_in = (ts, jnp.full((n_pad,), -1, jnp.int32),
-                jnp.zeros((n_pad,), jnp.float32),
-                jnp.zeros((n_pad,), jnp.float32))
 
-    t_res, tri, b1, b2 = _sweep_chunks(
-        _closest_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6, carry_in,
-        [], tl, n_tiles, interpret)
+    def keyify(t):
+        # quantized t bits rounded UP (low index bits set), so unbeaten
+        # lanes keep a conservative early-out threshold
+        return jax.lax.bitcast_convert_type(
+            jnp.maximum(t, 0.0), jnp.int32) | COL_MASK
+
+    def sweep(meta, n_pairs, tnear, carry_in):
+        tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
+        key, tr = _sweep_chunks(
+            _closest_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6,
+            carry_in, [], tl, n_tiles, interpret)
+        return key.reshape(-1), tr.reshape(-1)
+
+    if band is None:
+        mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
+        meta, n_pairs = _build_pairs(mask, tnear)
+        carry_in = (keyify(ts), jnp.full((n_pad,), -1, jnp.int32))
+        key, tr = sweep(meta, n_pairs, tnear, carry_in)
+    else:
+        # Banded two-pass sweep: pass 1 caps every lane's reach at `band`,
+        # which bounds the per-tile early-out threshold at `band` from the
+        # START — with the L2 entry bound this culls every beyond-band
+        # treelet even for omnidirectional (bounce) tiles, where the
+        # one-pass threshold stays scene-scale until the last lane
+        # resolves. Hits below the cap are final (the threshold cannot
+        # drop below a lane's own capped t_max while it is unresolved, so
+        # every treelet that could beat its best was swept). Pass 2
+        # re-sweeps only still-unresolved lanes at full reach; sub-tiles
+        # that fully resolved in pass 1 cull like dead tiles.
+        band_t = jnp.asarray(band, jnp.float32)
+        ts1 = jnp.minimum(ts, band_t)
+        mask1, tnear1 = tile_treelet_mask(os_, ds, ts1, tl, n_tiles)
+        meta1, n_pairs1 = _build_pairs(mask1, tnear1)
+        key1, tr1 = sweep(meta1, n_pairs1, tnear1,
+                          (keyify(ts1), jnp.full((n_pad,), -1, jnp.int32)))
+        # final after pass 1: found a hit, or had nothing beyond the cap
+        done = (tr1 >= 0) | (ts <= band_t)
+        ts2 = jnp.where(done, 0.0, ts)
+        mask2, tnear2 = tile_treelet_mask(os_, ds, ts2, tl, n_tiles)
+        meta2, n_pairs2 = _build_pairs(mask2, tnear2)
+        key0_2 = jnp.where(done, key1, keyify(ts))
+        key, tr = sweep(meta2, n_pairs2, tnear2, (key0_2, tr1))
+
+    t_res, b1, b2, tri = _resolve_hits(tl, key, tr, os_, ds)
 
     # unsort and strip padding
-    t_res, b1, b2, tri = _unsort_hits(
-        order, n_pad, t_res.reshape(-1), b1.reshape(-1), b2.reshape(-1),
-        tri.reshape(-1))
+    t_res, b1, b2, tri = _unsort_hits(order, n_pad, t_res, b1, b2, tri)
     t_res, tri, b1, b2 = t_res[:n], tri[:n], b1[:n], b2[:n]
     return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
 

@@ -64,11 +64,16 @@ def scene_closest_hit(scene: SceneData, o, d, t_max, active=None):
         if active is not None:
             t_max = jnp.where(active, t_max, 0.0)
         return closest_hit(scene.bvh, o, d, t_max)
-    from ..geometry.wavefront import closest_hit_packets
+    from ..geometry.wavefront import BAND_FRAC, closest_hit_packets
 
+    band = (
+        BAND_FRAC * jnp.linalg.norm(scene.world_hi - scene.world_lo)
+        if BAND_FRAC > 0.0 else None
+    )
     return closest_hit_packets(
         scene.treelets, o, d, t_max, scene.world_lo, scene.world_hi,
         interpret=scene.traversal == "packets_interp", active=active,
+        band=band,
     )
 
 

@@ -170,6 +170,37 @@ def _bottom_dt_f(refl4, trans4, w_down, wi):
     return jnp.where(up[..., None], refl4, trans4) * INV_PI
 
 
+def _bottom_diffuse_pdf(w_down, wi):
+    """Solid-angle pdf of the cosine-sampled diffuse bottom."""
+    return jnp.maximum(wi[..., 2], 0.0) * INV_PI
+
+
+def _bottom_dt_pdf(refl4, trans4, w_down, wi):
+    """pdf of the two-lobe diffuse-transmission bottom (lobe choice by
+    max-component probability, each lobe cosine-distributed)."""
+    pr = jnp.maximum(jnp.max(refl4, -1), 1e-9)
+    pt = jnp.maximum(jnp.max(trans4, -1), 0.0)
+    p_refl = pr / (pr + pt)
+    cos_pdf = jnp.abs(wi[..., 2]) * INV_PI
+    return jnp.where(wi[..., 2] > 0.0, p_refl * cos_pdf,
+                     (1.0 - p_refl) * cos_pdf)
+
+
+def _bottom_conductor_pdf(ax, ay, w_down, wi):
+    """pdf of the microfacet conductor bottom (zero when smooth: delta)."""
+    wo = -w_down
+    smooth = effectively_smooth(ax, ay)
+    wm_raw = wo + wi
+    ln = jnp.linalg.norm(wm_raw, axis=-1, keepdims=True)
+    wm = wm_raw / jnp.maximum(ln, 1e-9)
+    wm = jnp.where(wm[..., 2:3] < 0.0, -wm, wm)
+    pdf = tr_pdf(wo, wm, ax, ay) / (
+        4.0 * jnp.maximum(jnp.abs(jnp.sum(wo * wm, -1)), 1e-8)
+    )
+    ok = ~smooth & (ln[..., 0] > 1e-9) & (wo[..., 2] > 0) & (wi[..., 2] > 0)
+    return jnp.where(ok, pdf, 0.0)
+
+
 def _bottom_conductor_f(eta4, k4, ax, ay, w_down, wi_up):
     """f of the conductor bottom for NEE connections (zero when smooth)."""
     wo = -w_down
@@ -217,6 +248,8 @@ def layered_sample(
     top_eta, top_ax, top_ay,
     thick, albedo4, g,
     bottom_sample,  # fn(w_down, u2, uc) -> (w_new, weight4, valid)
+    bottom_pdf=None,  # fn(w_down, wi) -> scalar pdf (for the MIS estimate)
+    bottom_smooth=None,
     bottom_exits: bool = False,
 ) -> BSDFSample:
     """Stochastic LayeredBxDF sample (pbrt Sample_f).
@@ -306,8 +339,9 @@ def layered_sample(
     wi = wi_l * jnp.stack([jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], -1)
     cos_i = jnp.maximum(abs_cos_theta(wi_l), 1e-6)
 
-    pdf_a = layered_pdf_approx(
-        wo_l, wi_l, top_eta, top_ax, top_ay, two_sided=bottom_exits
+    pdf_a = layered_pdf_stochastic(
+        wo_l, wi_l, state["rng"], top_eta, top_ax, top_ay,
+        bottom_pdf, bottom_sample, bottom_smooth, two_sided=bottom_exits,
     )
     # premultiplied: f*cos/pdf_a == walk weight
     weight4 = jnp.where(
@@ -330,21 +364,97 @@ def layered_sample(
     )
 
 
-def layered_pdf_approx(wo_l, wi_l, top_eta, top_ax, top_ay, two_sided=False):
-    """Approximate solid-angle pdf for MIS: a blend of the cosine lobe and
-    the top interface's reflection lobe (pbrt mixes a stochastic estimate
-    with a lambertian stabilizer the same way).
+def _power_heuristic(pf, pg):
+    f2 = pf * pf
+    return jnp.where(f2 > 0.0, f2 / jnp.maximum(f2 + pg * pg, 1e-30), 0.0)
 
-    two_sided: the material also transmits (CoatedDiffuseTransmission);
-    the transmitted hemisphere gets a cosine-lobe pdf with half the mass
-    split between hemispheres."""
-    cos_pdf = abs_cos_theta(wi_l) * INV_PI
-    _, pdf_top = dielectric_interface_f(wo_l, wi_l, top_eta, top_ax, top_ay)
+
+def layered_pdf_stochastic(
+    wo_l, wi_l, rng,
+    top_eta, top_ax, top_ay,
+    bottom_pdf, bottom_sample, bottom_smooth=None,
+    two_sided=False,
+):
+    """Stochastic solid-angle pdf for MIS — pbrt LayeredBxDF::PDF
+    (reference spectral-eval.jl:827+ wraps the same estimator): a one-sample
+    TRT estimate blended 0.9/0.1 with the uniform-sphere pdf.
+
+    Terms (reflection query, wo/wi same hemisphere):
+      R   — the top interface's own reflection pdf (deterministic; zero
+            for a smooth top, whose delta lobe carries no MIS pdf).
+      TRT — refract wo and wi through the top interface (the lobe choice
+            is forced to transmission, matching pbrt's
+            Sample_f(..., Transmission); near-TIR lanes fail like pbrt's
+            rejected samples) and combine the bottom pdf between the
+            refracted directions with the top-exit pdf of a sampled
+            bottom bounce via the power heuristic. A delta bottom
+            (smooth conductor) uses the top-exit pdf alone.
+    Transmission query (two_sided, opposite hemispheres): the bottom layer
+    is the exit interface, so the bottom lobe's pdf between the
+    entry-refracted direction and wi stands in for pbrt's z==exitZ branch.
+
+    bottom_pdf(w_down, wi) -> scalar solid-angle pdf; bottom_sample as in
+    layered_sample; bottom_smooth: per-lane bool marking delta bottoms.
+    The sampled-lobe pdfs keep their Fresnel lobe-probability factor (pbrt
+    strips it for forced-transmission draws); the discrepancy only
+    perturbs the power-heuristic weights of an already-approximate MIS
+    pdf."""
     same = wo_l[..., 2] * wi_l[..., 2] > 0.0
-    pdf = 0.5 * cos_pdf + 0.5 * jnp.where(pdf_top > 0.0, pdf_top, cos_pdf)
+    shape = same.shape
+
+    # R term
+    _, pdf_top = dielectric_interface_f(wo_l, wi_l, top_eta, top_ax, top_ay)
+    pdf_sum = jnp.where(same, pdf_top, 0.0)
+
+    # transmission-forced refractions of wo and wi through the top
+    force_t = jnp.full(shape, 0.999999, jnp.float32)
+    rng, uo2 = _rng_next2(rng)
+    so = dielectric_interface_sample(wo_l, top_eta, top_ax, top_ay, uo2, force_t)
+    o_ok = so["valid"] & so["is_trans"]
+    w_o = so["wi"]                      # points down into the slab
+    # callers flip wo_l into the upper hemisphere, so a same-hemisphere wi
+    # is already up; the transmission query (wi below) never reads si
+    wi_q = jnp.where((wi_l[..., 2] < 0.0)[..., None], -wi_l, wi_l)
+    rng, ui2 = _rng_next2(rng)
+    si = dielectric_interface_sample(wi_q, top_eta, top_ax, top_ay, ui2, force_t)
+    i_ok = si["valid"] & si["is_trans"]
+    w_i = si["wi"]                      # points down (refracted from wi side)
+
+    # TRT: bottom pdf between the refracted directions ...
+    r_pdf = bottom_pdf(w_o, -w_i)
+    # ... MIS-combined with the top-exit pdf of a sampled bottom bounce
+    rng, ub2 = _rng_next2(rng)
+    rng, ubc = _rng_next(rng)
+    w_b, _, b_ok = bottom_sample(w_o, ub2, ubc)
+    rs_pdf = bottom_pdf(w_o, w_b)
+    _, t_pdf = dielectric_interface_f(-w_b, wi_q, top_eta, top_ax, top_ay)
+    smooth_top = effectively_smooth(top_ax, top_ay)
+    if bottom_smooth is None:
+        bottom_smooth = jnp.zeros(shape, bool)
+    trt = jnp.where(
+        smooth_top,
+        # smooth top: the exit refraction is deterministic — the bottom
+        # pdf between the two refracted directions IS the TRT pdf
+        r_pdf,
+        jnp.where(
+            bottom_smooth,
+            # delta bottom: only the top-exit channel has a pdf
+            jnp.where(b_ok, t_pdf, 0.0),
+            _power_heuristic(si["pdf"], r_pdf) * r_pdf
+            + jnp.where(b_ok, _power_heuristic(rs_pdf, t_pdf) * t_pdf, 0.0),
+        ),
+    )
+    pdf_sum = pdf_sum + jnp.where(same & o_ok & i_ok, trt, 0.0)
+
     if two_sided:
-        return jnp.where(same, 0.5 * pdf, 0.5 * cos_pdf)
-    return jnp.where(same, pdf, 0.0)
+        # transmission query: exit through the bottom layer
+        tt = jnp.where(o_ok, bottom_pdf(w_o, wi_l), 0.0)
+        pdf_sum = pdf_sum + jnp.where(~same, tt, 0.0)
+
+    out = 0.9 * pdf_sum + 0.1 / (4.0 * jnp.pi)
+    if two_sided:
+        return out
+    return jnp.where(same, out, 0.0)
 
 
 def layered_f(
@@ -352,6 +462,7 @@ def layered_f(
     top_eta, top_ax, top_ay,
     thick, albedo4, g,
     bottom_sample, bottom_f,
+    bottom_pdf=None, bottom_smooth=None,
     bottom_exits: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stochastic (f, pdf) for NEE MIS (pbrt LayeredBxDF::f).
@@ -465,8 +576,9 @@ def layered_f(
     if bottom_exits:
         f_sum = jnp.where(same[..., None], f_sum, state["f"])
 
-    pdf = layered_pdf_approx(
-        wo_l, wi_l, top_eta, top_ax, top_ay, two_sided=bottom_exits
+    pdf = layered_pdf_stochastic(
+        wo_l, wi_l, state["rng"], top_eta, top_ax, top_ay,
+        bottom_pdf, bottom_sample, bottom_smooth, two_sided=bottom_exits,
     )
     return jnp.where(valid_q[..., None], f_sum, 0.0), pdf
 
@@ -487,7 +599,7 @@ def sample_coated_diffuse(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSDFS
         wo, lam, u2, uc,
         _bl(banks.cd_eta, idx), _bl(banks.cd_ax, idx), _bl(banks.cd_ay, idx),
         _bl(banks.cd_thick, idx), alb, _bl(banks.cd_g, idx),
-        bottom,
+        bottom, bottom_pdf=_bottom_diffuse_pdf,
     )
 
 
@@ -507,7 +619,7 @@ def eval_coated_diffuse(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
         wo, wi, lam, u2, uc,
         _bl(banks.cd_eta, idx), _bl(banks.cd_ax, idx), _bl(banks.cd_ay, idx),
         _bl(banks.cd_thick, idx), alb, _bl(banks.cd_g, idx),
-        bottom, bottom_f,
+        bottom, bottom_f, bottom_pdf=_bottom_diffuse_pdf,
     )
 
 
@@ -522,11 +634,15 @@ def sample_coated_conductor(banks, idx, table, wo, lam, u2, uc, tex=None) -> BSD
     def bottom(w_down, ub2, ubc):
         return _bottom_conductor_sample(eta4, k4, cax, cay, w_down, ub2)
 
+    def bottom_pdf(w_down, wi_q):
+        return _bottom_conductor_pdf(cax, cay, w_down, wi_q)
+
     return layered_sample(
         wo, lam, u2, uc,
         _bl(banks.cc_eta, idx), _bl(banks.cc_iax, idx), _bl(banks.cc_iay, idx),
         _bl(banks.cc_thick, idx), alb, _bl(banks.cc_g, idx),
-        bottom,
+        bottom, bottom_pdf=bottom_pdf,
+        bottom_smooth=effectively_smooth(cax, cay),
     )
 
 
@@ -544,11 +660,15 @@ def eval_coated_conductor(banks, idx, table, wo, wi, lam, u2, uc, tex=None):
     def bottom_f(w_down, wi_up):
         return _bottom_conductor_f(eta4, k4, cax, cay, w_down, wi_up)
 
+    def bottom_pdf(w_down, wi_q):
+        return _bottom_conductor_pdf(cax, cay, w_down, wi_q)
+
     return layered_f(
         wo, wi, lam, u2, uc,
         _bl(banks.cc_eta, idx), _bl(banks.cc_iax, idx), _bl(banks.cc_iay, idx),
         _bl(banks.cc_thick, idx), alb, _bl(banks.cc_g, idx),
-        bottom, bottom_f,
+        bottom, bottom_f, bottom_pdf=bottom_pdf,
+        bottom_smooth=effectively_smooth(cax, cay),
     )
 
 
@@ -568,11 +688,14 @@ def sample_coated_diffuse_transmission(
     def bottom(w_down, ub2, ubc):
         return _bottom_dt_sample(refl, trans, w_down, ub2, ubc)
 
+    def bottom_pdf(w_down, wi_q):
+        return _bottom_dt_pdf(refl, trans, w_down, wi_q)
+
     return layered_sample(
         wo, lam, u2, uc,
         _bl(banks.cdt_eta, idx), _bl(banks.cdt_ax, idx), _bl(banks.cdt_ay, idx),
         _bl(banks.cdt_thick, idx), alb, _bl(banks.cdt_g, idx),
-        bottom, bottom_exits=True,
+        bottom, bottom_pdf=bottom_pdf, bottom_exits=True,
     )
 
 
@@ -591,9 +714,12 @@ def eval_coated_diffuse_transmission(
     def bottom_f(w_down, wi_q):
         return _bottom_dt_f(refl, trans, w_down, wi_q)
 
+    def bottom_pdf(w_down, wi_q):
+        return _bottom_dt_pdf(refl, trans, w_down, wi_q)
+
     return layered_f(
         wo, wi, lam, u2, uc,
         _bl(banks.cdt_eta, idx), _bl(banks.cdt_ax, idx), _bl(banks.cdt_ay, idx),
         _bl(banks.cdt_thick, idx), alb, _bl(banks.cdt_g, idx),
-        bottom, bottom_f, bottom_exits=True,
+        bottom, bottom_f, bottom_pdf=bottom_pdf, bottom_exits=True,
     )

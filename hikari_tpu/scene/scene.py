@@ -669,6 +669,7 @@ def _build_instanced_scene(self, traversal: str) -> SceneData:
         treelets=Treelets(
             lo=jnp.full((1, 3), 3.0e37), hi=jnp.full((1, 3), 3.0e37),
             bw=jnp.zeros((1, 24, 3 * TREELET), jnp.bfloat16),
+            tri=jnp.zeros((TREELET, 9), jnp.float32),
         ),
         inst=inst_tl,
         inst_nrm=jnp.asarray(inst_nrm),

@@ -265,3 +265,93 @@ def test_cdt_backlit_render():
     assert center.mean() > 0.01, center.mean()
     # transmitted tint is green-dominant
     assert center[..., 1].sum() > center[..., 0].sum()
+
+
+def test_layered_pdf_stochastic_normalizes():
+    """The stochastic MIS pdf (pbrt LayeredBxDF::PDF) must carry roughly
+    order-unit mass over the sphere: E_uniform[pdf] * 4pi in [0.35, 1.9].
+    Like pbrt's, the estimate is NOT normalized (the refraction cone
+    compresses exit directions, so the TRT term integrates to ~1.5-1.7 for
+    eta=1.5); only MIS weights consume it. A broken term (double-counted
+    TRT, missing lobe probability, hemisphere sign error) lands far
+    outside the bounds."""
+    from hikari_tpu.materials.types import CoatedDiffuseTransmission
+
+    table = srgb_table()
+    n = 32768
+    k = jax.random.PRNGKey(9)
+    z = jax.random.uniform(jax.random.fold_in(k, 0), (n,)) * 2.0 - 1.0
+    phi = jax.random.uniform(jax.random.fold_in(k, 1), (n,)) * 2 * np.pi
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    wi = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
+    wo = jnp.tile(jnp.asarray([[0.4, 0.0, 0.9165]], jnp.float32), (n, 1))
+    wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+    lam = jnp.tile(jnp.array([[480.0, 530.0, 590.0, 650.0]]), (n, 1))
+    idx = jnp.zeros((n,), jnp.int32)
+    u2 = jax.random.uniform(jax.random.fold_in(k, 2), (n, 2))
+    uc = jax.random.uniform(jax.random.fold_in(k, 3), (n,))
+
+    for mk, ev, lo, hi in [
+        (CoatedDiffuse(reflectance=(0.8,) * 3, roughness=0.0, thickness=0.0),
+         ml.eval_coated_diffuse, 0.35, 1.9),
+        (CoatedDiffuse(reflectance=(0.8,) * 3, roughness=0.25, thickness=0.0),
+         ml.eval_coated_diffuse, 0.35, 1.9),
+        (CoatedDiffuseTransmission(
+            reflectance=(0.5,) * 3, transmittance=(0.4,) * 3,
+            roughness=0.0, thickness=0.0),
+         ml.eval_coated_diffuse_transmission, 0.35, 1.9),
+    ]:
+        banks = _banks([mk])
+        _, pdf = ev(banks, idx, table, wo, wi, lam, u2, uc)
+        mass = float(np.asarray(pdf).mean()) * 4.0 * np.pi
+        assert lo < mass < hi, (type(mk).__name__, mass)
+
+
+def test_layered_pdf_tracks_sample_distribution():
+    """MIS-quality check: the stochastic pdf must track where the sampler
+    actually puts directions. Bin sampled wi by cos(theta); the observed
+    per-bin mass must match mean(pdf)*bin_solid_angle within a loose
+    factor (the pdf is approximate by design; a heuristic unrelated to the
+    true kernel fails this badly at the refraction-cone edge)."""
+    banks = _banks([CoatedDiffuse(reflectance=(0.9,) * 3, roughness=0.3,
+                                  thickness=0.0)])
+    table = srgb_table()
+    n = 65536
+    s, wo1, lam1, idx1, _ = _sample_batch(
+        ml.sample_coated_diffuse, banks, n, seed=3)
+    ok = np.asarray(s.valid) & ~np.asarray(s.specular)
+    wi_s = np.asarray(s.wi)[ok]
+    cz = wi_s[:, 2]
+    nb = 6
+    edges = np.linspace(0.0, 1.0, nb + 1)
+    obs = np.histogram(cz[cz > 0], bins=edges)[0] / max(ok.sum(), 1)
+
+    # predicted mass per bin: mean stochastic pdf over uniform directions
+    # inside the bin x bin solid angle
+    k = jax.random.PRNGKey(12)
+    m = 16384
+    zb = jax.random.uniform(jax.random.fold_in(k, 0), (m,))
+    phi = jax.random.uniform(jax.random.fold_in(k, 1), (m,)) * 2 * np.pi
+    rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zb * zb))
+    wi_e = jnp.stack([rr * jnp.cos(phi), rr * jnp.sin(phi), zb], -1)
+    wo_e = jnp.tile(wo1[:1], (m, 1))
+    lam_e = jnp.tile(lam1[:1], (m, 1))
+    idx_e = jnp.zeros((m,), jnp.int32)
+    u2 = jax.random.uniform(jax.random.fold_in(k, 2), (m, 2))
+    uc = jax.random.uniform(jax.random.fold_in(k, 3), (m,))
+    _, pdf = ml.eval_coated_diffuse(
+        banks, idx_e, table, wo_e, wi_e, lam_e, u2, uc)
+    pdf = np.asarray(pdf)
+    zbn = np.asarray(zb)
+    pred = np.zeros(nb)
+    for j in range(nb):
+        in_bin = (zbn >= edges[j]) & (zbn < edges[j + 1])
+        # uniform-hemisphere bin solid angle = 2pi * dz
+        pred[j] = pdf[in_bin].mean() * 2 * np.pi * (edges[j + 1] - edges[j])
+    pred /= max(pred.sum(), 1e-9)
+
+    for j in range(nb):
+        if obs[j] < 0.05 and pred[j] < 0.05:
+            continue
+        ratio = obs[j] / max(pred[j], 1e-9)
+        assert 0.45 < ratio < 2.2, (j, obs[j], pred[j], list(obs), list(pred))

@@ -133,3 +133,36 @@ def test_any_hit_kernel_matches_brute_force():
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max * 0.9999),
     )
     assert (occ == (np.asarray(ref.hit) & act)).all()
+
+
+def test_banded_two_pass_matches_single_pass():
+    """The banded two-pass sweep must return identical hits to the one-pass
+    sweep — including lanes resolved in pass 1 whose tiles then have ZERO
+    pairs in pass 2 (their carry must pass through the unvisited pallas
+    output blocks), inactive lanes, and finite t_max lanes."""
+    p0, p1, p2 = _random_tris(400, seed=7)
+    tl = build_treelets(p0, p1, p2)
+    rng = np.random.RandomState(8)
+    r = 1500
+    o = rng.rand(r, 3).astype(np.float32) * 6 - 3
+    d = rng.randn(r, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = np.where(rng.rand(r) < 0.3, rng.rand(r) * 4 + 0.1,
+                     np.inf).astype(np.float32)
+    act = rng.rand(r) > 0.2
+    wl = jnp.asarray(p0.min(0))
+    wh = jnp.asarray(p0.max(0))
+
+    args = (tl, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max), wl, wh)
+    one = closest_hit_packets(*args, interpret=True, active=jnp.asarray(act))
+    for band in (0.5, 2.0, 100.0):
+        two = closest_hit_packets(
+            *args, interpret=True, active=jnp.asarray(act),
+            band=jnp.float32(band),
+        )
+        hit1, hit2 = np.asarray(one.hit), np.asarray(two.hit)
+        assert (hit1[act] == hit2[act]).all(), f"band={band}"
+        both = hit1 & hit2 & act
+        assert (np.asarray(one.tri)[both] == np.asarray(two.tri)[both]).all()
+        np.testing.assert_allclose(
+            np.asarray(one.t)[both], np.asarray(two.t)[both], rtol=1e-4)

@@ -63,6 +63,14 @@ def main():
         return wf.closest_hit_packets(tl, o, d, t, scene.world_lo,
                                       scene.world_hi, active=a).t
 
+    diag = float(np.linalg.norm(np.asarray(scene.world_hi)
+                                - np.asarray(scene.world_lo)))
+
+    def closest_band(o, d, t, a):
+        return wf.closest_hit_packets(tl, o, d, t, scene.world_lo,
+                                      scene.world_hi, active=a,
+                                      band=jnp.float32(0.15 * diag)).t
+
     def anyh(o, d, t, a):
         return wf.any_hit_packets(tl, o, d, t, scene.world_lo,
                                   scene.world_hi, active=a)
@@ -76,10 +84,13 @@ def main():
 
     timeit(closest, (o, d, t_max, alive_all), 4, "closest primary")
 
+    timeit(closest_band, (o, d, t_max, alive_all), 4, "closest primary band")
+
     k1, k2 = jax.random.split(key)
     o1, d1 = cosine_scatter(k1, p_hit, ng)
     a1 = rec.hit
     timeit(closest, (o1, d1, t_max, a1), 4, "closest bounce1")
+    timeit(closest_band, (o1, d1, t_max, a1), 4, "closest bounce1 band")
     timeit(anyh, (o1, d1, jnp.full((n,), 3.0), a1), 4, "anyhit bounce1 tmax=3")
 
     rec1 = jax.jit(lambda o, d, t, a: wf.closest_hit_packets(

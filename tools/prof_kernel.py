@@ -77,9 +77,12 @@ def main():
     T = wf.TREELET
 
     def mk_carry():
-        return (ts, jnp.full((n_pad,), -1, jnp.int32),
-                jnp.zeros((n_pad,), jnp.float32),
-                jnp.zeros((n_pad,), jnp.float32))
+        key0 = jax.lax.bitcast_convert_type(
+            jnp.maximum(ts, 0.0), jnp.int32) | wf.COL_MASK
+        return (key0, jnp.full((n_pad,), -1, jnp.int32))
+
+    def mk_carry_f32():
+        return (ts,)
 
     def run_variant(kernel, carries, extra=()):
         def f(meta, npairs, tnear_pair, a6, d6):
@@ -113,7 +116,7 @@ def main():
                             keepdims=True)
             t_ref[0] = jnp.minimum(t_ref[0], t_new)
 
-    timeit(run_variant(k_matmul_min, mk_carry()[:1]),
+    timeit(run_variant(k_matmul_min, mk_carry_f32()),
            (meta, npairs, tnear_pair, a6, d6), 4, "matmul + min-t only")
 
     # (c) pure overhead: all pairs skipped
@@ -135,7 +138,7 @@ def main():
             t, u, v, den = wf._bw_block(a6_ref[:], d6_ref[:], bw_ref[0])
             t_ref[0] = jnp.minimum(t_ref[0], jnp.min(t, -1, keepdims=True))
 
-    timeit(run_variant(k_skip_all, mk_carry()[:1]),
+    timeit(run_variant(k_skip_all, mk_carry_f32()),
            (meta, npairs, tnear_pair, a6, d6), 4, "all pairs skipped (overhead)")
 
     # (d) work always (skip check cost): real kernel w/o the when-guard
@@ -157,7 +160,7 @@ def main():
         t_new = jnp.min(jnp.where(hit, t, 3.0e38), axis=-1, keepdims=True)
         t_ref[0] = jnp.minimum(t_ref[0], t_new)
 
-    timeit(run_variant(k_always, mk_carry()[:1]),
+    timeit(run_variant(k_always, mk_carry_f32()),
            (meta, npairs, tnear_pair, a6, d6), 4, "hit-class + min, no skip")
 
 
