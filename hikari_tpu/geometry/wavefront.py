@@ -644,10 +644,37 @@ def _world_exit_clamp(o, d, t_max, world_lo, world_hi):
     return jnp.minimum(t_max, jnp.maximum(t_exit, 0.0) * 1.0001 + 1e-3)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _prefix_levels(n_pad: int, max_levels: int = 4) -> list[int]:
+    """Descending static prefix sizes (RAY_TILE multiples) for the
+    live-lane compaction cascade: n_pad, ~n_pad/2, ~n_pad/4, ~n_pad/8."""
+    levels = [n_pad]
+    while len(levels) < max_levels:
+        s = -(-(levels[-1] // 2) // RAY_TILE) * RAY_TILE
+        if s < RAY_TILE or s >= levels[-1]:
+            break
+        levels.append(s)
+    return levels
+
+
+def _run_cascade(live, levels, run):
+    """Nested lax.cond over descending prefix sizes: execute run(sz) for
+    the smallest sz with live <= sz (or the full size). Every branch is
+    traced; only the chosen one executes on device, so the whole sort/
+    cull/sweep/resolve pipeline cost tracks the live-lane count as paths
+    terminate across bounces (dead lanes sort to the back)."""
+    def at(idx):
+        sz = levels[idx]
+        if idx == len(levels) - 1:
+            return run(sz)
+        return jax.lax.cond(
+            live <= levels[idx + 1], lambda: at(idx + 1), lambda: run(sz))
+    return at(0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "compact"))
 def closest_hit_packets(
     tl: Treelets, o, d, t_max, world_lo, world_hi, interpret: bool = False,
-    active=None, band=None,
+    active=None, band=None, compact: bool | None = None,
 ) -> HitRecord:
     """Sorted-packet closest hit over the compacted pair list. o/d (R,3),
     t_max (R,). Returns HitRecord with tri indices into the BVH leaf order
@@ -659,20 +686,27 @@ def closest_hit_packets(
 
     band: optional f32 scalar — run the sweep as a banded two-pass (near
     hits resolved within `band` first, the remainder at full reach); see
-    the inline comment. Worth it for incoherent bounce wavefronts."""
+    the inline comment. Worth it for incoherent bounce wavefronts.
+
+    compact: run the post-sort pipeline on a lax.cond-selected static
+    prefix sized to the live-lane count (defaults to on when compiled,
+    off in interpret mode where the extra traced branches only slow
+    tests)."""
+    if compact is None:
+        compact = not interpret
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37)
     t_max = _world_exit_clamp(o, d, t_max, world_lo, world_hi)
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
     o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
-    n_tiles = n_pad // RAY_TILE
     n_treelets = tl.lo.shape[0]
 
     keys = ray_sort_keys(o, d, world_lo, world_hi)
+    # cap live keys below the dead-lane sentinel so the live prefix is
+    # contiguous after the sort (the compaction cascade slices it off)
+    keys = jnp.minimum(keys, jnp.uint32(0xFFFFFFFE))
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
     order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
-
-    a6, d6 = _ray_matrices(os_, ds)
 
     def keyify(t):
         # quantized t bits rounded UP (low index bits set), so unbeaten
@@ -680,44 +714,64 @@ def closest_hit_packets(
         return jax.lax.bitcast_convert_type(
             jnp.maximum(t, 0.0), jnp.int32) | COL_MASK
 
-    def sweep(meta, n_pairs, tnear, carry_in):
-        tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
-        key, tr = _sweep_chunks(
-            _closest_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6,
-            carry_in, [], tl, n_tiles, interpret)
-        return key.reshape(-1), tr.reshape(-1)
+    def run(sz):
+        os_s, ds_s, ts_s = os_[:sz], ds[:sz], ts[:sz]
+        n_tiles = sz // RAY_TILE
+        a6, d6 = _ray_matrices(os_s, ds_s)
 
-    if band is None:
-        mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
-        meta, n_pairs = _build_pairs(mask, tnear)
-        carry_in = (keyify(ts), jnp.full((n_pad,), -1, jnp.int32))
-        key, tr = sweep(meta, n_pairs, tnear, carry_in)
+        def sweep(meta, n_pairs, tnear, carry_in):
+            tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
+            key, tr = _sweep_chunks(
+                _closest_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6,
+                carry_in, [], tl, n_tiles, interpret)
+            return key.reshape(-1), tr.reshape(-1)
+
+        if band is None:
+            mask, tnear = tile_treelet_mask(os_s, ds_s, ts_s, tl, n_tiles)
+            meta, n_pairs = _build_pairs(mask, tnear)
+            carry_in = (keyify(ts_s), jnp.full((sz,), -1, jnp.int32))
+            key, tr = sweep(meta, n_pairs, tnear, carry_in)
+        else:
+            # Banded two-pass sweep: pass 1 caps every lane's reach at
+            # `band`, which bounds the per-tile early-out threshold at
+            # `band` from the START — with the L2 entry bound this culls
+            # every beyond-band treelet even for omnidirectional (bounce)
+            # tiles, where the one-pass threshold stays scene-scale until
+            # the last lane resolves. Hits below the cap are final (the
+            # threshold cannot drop below a lane's own capped t_max while
+            # it is unresolved, so every treelet that could beat its best
+            # was swept). Pass 2 re-sweeps only still-unresolved lanes at
+            # full reach; sub-tiles that fully resolved in pass 1 cull
+            # like dead tiles.
+            band_t = jnp.asarray(band, jnp.float32)
+            ts1 = jnp.minimum(ts_s, band_t)
+            mask1, tnear1 = tile_treelet_mask(os_s, ds_s, ts1, tl, n_tiles)
+            meta1, n_pairs1 = _build_pairs(mask1, tnear1)
+            key1, tr1 = sweep(meta1, n_pairs1, tnear1,
+                              (keyify(ts1), jnp.full((sz,), -1, jnp.int32)))
+            # final after pass 1: found a hit, or had nothing beyond cap
+            done = (tr1 >= 0) | (ts_s <= band_t)
+            ts2 = jnp.where(done, 0.0, ts_s)
+            mask2, tnear2 = tile_treelet_mask(os_s, ds_s, ts2, tl, n_tiles)
+            meta2, n_pairs2 = _build_pairs(mask2, tnear2)
+            key0_2 = jnp.where(done, key1, keyify(ts_s))
+            key, tr = sweep(meta2, n_pairs2, tnear2, (key0_2, tr1))
+
+        t_res, b1, b2, tri = _resolve_hits(tl, key, tr, os_s, ds_s)
+        pad = n_pad - sz
+        if pad:  # beyond-prefix lanes are dead: pad with misses
+            t_res = jnp.concatenate([t_res, jnp.zeros((pad,), t_res.dtype)])
+            b1 = jnp.concatenate([b1, jnp.zeros((pad,), b1.dtype)])
+            b2 = jnp.concatenate([b2, jnp.zeros((pad,), b2.dtype)])
+            tri = jnp.concatenate([tri, jnp.full((pad,), -1, tri.dtype)])
+        return t_res, b1, b2, tri
+
+    levels = _prefix_levels(n_pad) if compact else [n_pad]
+    if len(levels) > 1:
+        live = jnp.sum((ts > 0.0).astype(jnp.int32))
+        t_res, b1, b2, tri = _run_cascade(live, levels, run)
     else:
-        # Banded two-pass sweep: pass 1 caps every lane's reach at `band`,
-        # which bounds the per-tile early-out threshold at `band` from the
-        # START — with the L2 entry bound this culls every beyond-band
-        # treelet even for omnidirectional (bounce) tiles, where the
-        # one-pass threshold stays scene-scale until the last lane
-        # resolves. Hits below the cap are final (the threshold cannot
-        # drop below a lane's own capped t_max while it is unresolved, so
-        # every treelet that could beat its best was swept). Pass 2
-        # re-sweeps only still-unresolved lanes at full reach; sub-tiles
-        # that fully resolved in pass 1 cull like dead tiles.
-        band_t = jnp.asarray(band, jnp.float32)
-        ts1 = jnp.minimum(ts, band_t)
-        mask1, tnear1 = tile_treelet_mask(os_, ds, ts1, tl, n_tiles)
-        meta1, n_pairs1 = _build_pairs(mask1, tnear1)
-        key1, tr1 = sweep(meta1, n_pairs1, tnear1,
-                          (keyify(ts1), jnp.full((n_pad,), -1, jnp.int32)))
-        # final after pass 1: found a hit, or had nothing beyond the cap
-        done = (tr1 >= 0) | (ts <= band_t)
-        ts2 = jnp.where(done, 0.0, ts)
-        mask2, tnear2 = tile_treelet_mask(os_, ds, ts2, tl, n_tiles)
-        meta2, n_pairs2 = _build_pairs(mask2, tnear2)
-        key0_2 = jnp.where(done, key1, keyify(ts))
-        key, tr = sweep(meta2, n_pairs2, tnear2, (key0_2, tr1))
-
-    t_res, b1, b2, tri = _resolve_hits(tl, key, tr, os_, ds)
+        t_res, b1, b2, tri = run(n_pad)
 
     # unsort and strip padding
     t_res, b1, b2, tri = _unsort_hits(order, n_pad, t_res, b1, b2, tri)
@@ -725,16 +779,20 @@ def closest_hit_packets(
     return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "compact"))
 def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
-                    active=None, group=None):
+                    active=None, group=None, compact: bool | None = None):
     """Occlusion-only pair sweep; front-to-back order plus the all-lanes-
     resolved early-out make shadow rays the cheap half of the frame.
 
     group: optional (R,) int32 — lanes are clustered by group before the
     spatial sort key. NEE shadow rays grouped by their sampled light id
     form single-target tiles whose frusta cull ~4x better than
-    light-mixed tiles."""
+    light-mixed tiles.
+
+    compact: live-lane static-prefix cascade, as in closest_hit_packets."""
+    if compact is None:
+        compact = not interpret
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37) * 0.9999
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
@@ -744,27 +802,42 @@ def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
     o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
     # padding lanes carry t_max=0 -> pre-resolved
     t_max = t_max.at[n:].set(0.0) if n_pad > n else t_max
-    n_tiles = n_pad // RAY_TILE
     n_treelets = tl.lo.shape[0]
 
     keys = ray_sort_keys(o, d, world_lo, world_hi)
     if group is not None:
         keys = ((group.astype(jnp.uint32) & jnp.uint32(63)) << 26) | (keys >> 6)
+    keys = jnp.minimum(keys, jnp.uint32(0xFFFFFFFE))
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
     order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
 
-    mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
-    meta, n_pairs = _build_pairs(mask, tnear)
-    tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
+    def run(sz):
+        os_s, ds_s, ts_s = os_[:sz], ds[:sz], ts[:sz]
+        n_tiles = sz // RAY_TILE
+        mask, tnear = tile_treelet_mask(os_s, ds_s, ts_s, tl, n_tiles)
+        meta, n_pairs = _build_pairs(mask, tnear)
+        tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
 
-    a6, d6 = _ray_matrices(os_, ds)
-    occ0 = (ts <= 0.0).astype(jnp.int32)
+        a6, d6 = _ray_matrices(os_s, ds_s)
+        occ0 = (ts_s <= 0.0).astype(jnp.int32)
 
-    (occ,) = _sweep_chunks(
-        _occlusion_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6, (occ0,),
-        [ts], tl, n_tiles, interpret)
+        (occ,) = _sweep_chunks(
+            _occlusion_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6,
+            (occ0,), [ts_s], tl, n_tiles, interpret)
+        occ = occ.reshape(-1)
+        pad = n_pad - sz
+        if pad:  # beyond-prefix lanes are dead: unoccluded
+            occ = jnp.concatenate([occ, jnp.zeros((pad,), occ.dtype)])
+        return occ
+
+    levels = _prefix_levels(n_pad) if compact else [n_pad]
+    if len(levels) > 1:
+        live = jnp.sum((ts > 0.0).astype(jnp.int32))
+        occ = _run_cascade(live, levels, run)
+    else:
+        occ = run(n_pad)
 
     # unsort by direct scatter (no inverse permutation needed for one column)
-    occ = jnp.zeros((n_pad,), jnp.int32).at[order].set(occ.reshape(-1))[:n]
+    occ = jnp.zeros((n_pad,), jnp.int32).at[order].set(occ)[:n]
     # lanes pre-resolved by t_max <= 0 (inactive/padding) are not occluded
     return (occ > 0) & (t_max[:n] > 0.0)

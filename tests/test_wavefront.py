@@ -166,3 +166,43 @@ def test_banded_two_pass_matches_single_pass():
         assert (np.asarray(one.tri)[both] == np.asarray(two.tri)[both]).all()
         np.testing.assert_allclose(
             np.asarray(one.t)[both], np.asarray(two.t)[both], rtol=1e-4)
+
+
+def test_compaction_cascade_matches_full_sweep():
+    """With most lanes dead, the live-lane static-prefix cascade (compact)
+    must pick a smaller branch and return results identical to the
+    full-size pipeline on every live lane; 6 tiles of rays with ~15% live
+    exercise the half/quarter branches."""
+    from hikari_tpu.geometry.wavefront import RAY_TILE, any_hit_packets
+
+    p0, p1, p2 = _random_tris(400, seed=9)
+    tl = build_treelets(p0, p1, p2)
+    rng = np.random.RandomState(10)
+    r = 6 * RAY_TILE
+    o = rng.rand(r, 3).astype(np.float32) * 6 - 3
+    d = rng.randn(r, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = np.where(rng.rand(r) < 0.3, rng.rand(r) * 4 + 0.1,
+                     np.inf).astype(np.float32)
+    act = rng.rand(r) < 0.15
+    wl = jnp.asarray(p0.min(0))
+    wh = jnp.asarray(p0.max(0))
+
+    args = (tl, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max), wl, wh)
+    full = closest_hit_packets(
+        *args, interpret=True, active=jnp.asarray(act), compact=False)
+    casc = closest_hit_packets(
+        *args, interpret=True, active=jnp.asarray(act), compact=True)
+    hf, hc = np.asarray(full.hit), np.asarray(casc.hit)
+    assert (hf[act] == hc[act]).all()
+    both = hf & hc & act
+    assert (np.asarray(full.tri)[both] == np.asarray(casc.tri)[both]).all()
+    np.testing.assert_allclose(
+        np.asarray(full.t)[both], np.asarray(casc.t)[both], rtol=1e-4)
+
+    of = np.asarray(any_hit_packets(
+        *args, interpret=True, active=jnp.asarray(act), compact=False))
+    oc = np.asarray(any_hit_packets(
+        *args, interpret=True, active=jnp.asarray(act), compact=True))
+    assert (of[act] == oc[act]).all()
+    assert not oc[~act].any()

@@ -96,6 +96,16 @@ def main():
         ok &= compare(f"closest banded b={band}", gotb, refb, act)
         ok &= compare(f"banded-vs-onepass b={band}", gotb, ref, act)
 
+    # compaction cascade on hardware: ~12% live lanes -> small branch
+    act_low = jnp.asarray(rng.rand(r) < 0.12)
+    full = wf.closest_hit_packets(*args, interpret=False, active=act_low,
+                                  compact=False)
+    _ = float(np.asarray(full.t.sum()))
+    casc = wf.closest_hit_packets(*args, interpret=False, active=act_low,
+                                  compact=True)
+    _ = float(np.asarray(casc.t.sum()))
+    ok &= compare("compaction cascade", casc, full, np.asarray(act_low))
+
     with jax.default_device(cpu):
         occ_i = np.asarray(wf.any_hit_packets(
             *cpu_args, interpret=True, active=cpu_act))
