@@ -297,47 +297,74 @@ def _pair_tnear(meta, tnear, n_pairs):
     return tnear[tile, treelet]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "compact"))
 def closest_hit_instanced(
     tl: InstancedTreelets, o, d, t_max, world_lo, world_hi,
-    interpret: bool = False, active=None,
+    interpret: bool = False, active=None, compact: bool | None = None,
 ) -> HitRecord:
-    """Two-level closest hit. Returns tri = world_treelet * TREELET + j."""
+    """Two-level closest hit. Returns tri = world_treelet * TREELET + j.
+
+    compact: live-lane static-prefix cascade, as in closest_hit_packets."""
+    from .wavefront import _prefix_levels, _run_cascade
+
+    if compact is None:
+        compact = not interpret
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37)
     t_max = _world_exit_clamp(o, d, t_max, world_lo, world_hi)
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
     o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
-    n_tiles = n_pad // RAY_TILE
-    assert n_tiles <= (1 << (31 - TILE_SHIFT)), "ray count exceeds tile field"
+    assert n_pad // RAY_TILE <= (1 << (31 - TILE_SHIFT)), \
+        "ray count exceeds tile field"
 
     keys = ray_sort_keys(o, d, world_lo, world_hi)
+    keys = jnp.minimum(keys, jnp.uint32(0xFFFFFFFE))
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
     order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
 
-    mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
-    meta, n_pairs = _build_pairs(mask, tnear)
-    tnear_pair = _pair_tnear(meta, tnear, n_pairs)
+    def run(sz):
+        os_s, ds_s, ts_s = os_[:sz], ds[:sz], ts[:sz]
+        n_tiles = sz // RAY_TILE
+        mask, tnear = tile_treelet_mask(os_s, ds_s, ts_s, tl, n_tiles)
+        meta, n_pairs = _build_pairs(mask, tnear)
+        tnear_pair = _pair_tnear(meta, tnear, n_pairs)
 
-    o4, d4 = _ray_blocks(os_, ds)
-    carry_in = (ts, jnp.full((n_pad,), -1, jnp.int32),
-                jnp.zeros((n_pad,), jnp.float32),
-                jnp.zeros((n_pad,), jnp.float32))
+        o4, d4 = _ray_blocks(os_s, ds_s)
+        carry_in = (ts_s, jnp.full((sz,), -1, jnp.int32),
+                    jnp.zeros((sz,), jnp.float32),
+                    jnp.zeros((sz,), jnp.float32))
 
-    t_res, tri, b1, b2 = _sweep_chunks_inst(
-        _closest_inst_kernel, meta, n_pairs, tnear_pair, tl, o4, d4,
-        carry_in, [], n_tiles, interpret)
+        t_res, tri, b1, b2 = _sweep_chunks_inst(
+            _closest_inst_kernel, meta, n_pairs, tnear_pair, tl, o4, d4,
+            carry_in, [], n_tiles, interpret)
+        t_res, tri, b1, b2 = (x.reshape(-1) for x in (t_res, tri, b1, b2))
+        pad = n_pad - sz
+        if pad:  # beyond-prefix lanes are dead: pad with misses
+            t_res = jnp.concatenate([t_res, jnp.zeros((pad,), t_res.dtype)])
+            b1 = jnp.concatenate([b1, jnp.zeros((pad,), b1.dtype)])
+            b2 = jnp.concatenate([b2, jnp.zeros((pad,), b2.dtype)])
+            tri = jnp.concatenate([tri, jnp.full((pad,), -1, tri.dtype)])
+        return t_res, tri, b1, b2
 
-    t_res, b1, b2, tri = _unsort_hits(
-        order, n_pad, t_res.reshape(-1), b1.reshape(-1), b2.reshape(-1),
-        tri.reshape(-1))
+    levels = _prefix_levels(n_pad) if compact else [n_pad]
+    if len(levels) > 1:
+        live = jnp.sum((ts > 0.0).astype(jnp.int32))
+        t_res, tri, b1, b2 = _run_cascade(live, levels, run)
+    else:
+        t_res, tri, b1, b2 = run(n_pad)
+
+    t_res, b1, b2, tri = _unsort_hits(order, n_pad, t_res, b1, b2, tri)
     t_res, tri, b1, b2 = t_res[:n], tri[:n], b1[:n], b2[:n]
     return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "compact"))
 def any_hit_instanced(tl, o, d, t_max, world_lo, world_hi, interpret=False,
-                      active=None, group=None):
+                      active=None, group=None, compact: bool | None = None):
+    from .wavefront import _prefix_levels, _run_cascade
+
+    if compact is None:
+        compact = not interpret
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37) * 0.9999
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
@@ -346,24 +373,39 @@ def any_hit_instanced(tl, o, d, t_max, world_lo, world_hi, interpret=False,
             [group, jnp.zeros((-len(group)) % RAY_TILE, group.dtype)])
     o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
     t_max = t_max.at[n:].set(0.0) if n_pad > n else t_max
-    n_tiles = n_pad // RAY_TILE
 
     keys = ray_sort_keys(o, d, world_lo, world_hi)
     if group is not None:
         keys = ((group.astype(jnp.uint32) & jnp.uint32(63)) << 26) | (keys >> 6)
+    keys = jnp.minimum(keys, jnp.uint32(0xFFFFFFFE))
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
     order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
 
-    mask, tnear = tile_treelet_mask(os_, ds, ts, tl, n_tiles)
-    meta, n_pairs = _build_pairs(mask, tnear)
-    tnear_pair = _pair_tnear(meta, tnear, n_pairs)
+    def run(sz):
+        os_s, ds_s, ts_s = os_[:sz], ds[:sz], ts[:sz]
+        n_tiles = sz // RAY_TILE
+        mask, tnear = tile_treelet_mask(os_s, ds_s, ts_s, tl, n_tiles)
+        meta, n_pairs = _build_pairs(mask, tnear)
+        tnear_pair = _pair_tnear(meta, tnear, n_pairs)
 
-    o4, d4 = _ray_blocks(os_, ds)
-    occ0 = (ts <= 0.0).astype(jnp.int32)
+        o4, d4 = _ray_blocks(os_s, ds_s)
+        occ0 = (ts_s <= 0.0).astype(jnp.int32)
 
-    (occ,) = _sweep_chunks_inst(
-        _occlusion_inst_kernel, meta, n_pairs, tnear_pair, tl, o4, d4,
-        (occ0,), [ts], n_tiles, interpret)
+        (occ,) = _sweep_chunks_inst(
+            _occlusion_inst_kernel, meta, n_pairs, tnear_pair, tl, o4, d4,
+            (occ0,), [ts_s], n_tiles, interpret)
+        occ = occ.reshape(-1)
+        pad = n_pad - sz
+        if pad:
+            occ = jnp.concatenate([occ, jnp.zeros((pad,), occ.dtype)])
+        return occ
 
-    occ = jnp.zeros((n_pad,), jnp.int32).at[order].set(occ.reshape(-1))[:n]
+    levels = _prefix_levels(n_pad) if compact else [n_pad]
+    if len(levels) > 1:
+        live = jnp.sum((ts > 0.0).astype(jnp.int32))
+        occ = _run_cascade(live, levels, run)
+    else:
+        occ = run(n_pad)
+
+    occ = jnp.zeros((n_pad,), jnp.int32).at[order].set(occ)[:n]
     return (occ > 0) & (t_max[:n] > 0.0)

@@ -136,3 +136,48 @@ def test_set_instance_transforms_rebuild():
     # the sphere moved from the left half to the right half
     assert img_a[:, :16, 1].sum() > img_b[:, :16, 1].sum()
     assert img_b[:, 16:, 1].sum() > img_a[:, 16:, 1].sum()
+
+
+def test_instanced_compaction_cascade_matches_full():
+    """Instanced two-level traversal: the live-lane prefix cascade must
+    match the full-size pipeline with ~15% live lanes."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hikari_tpu.geometry.instanced import (
+        any_hit_instanced, closest_hit_instanced,
+    )
+    from hikari_tpu.geometry.wavefront import RAY_TILE
+
+    s = _base_scene()
+    s.add_instanced(make_sphere((0, 0, 0), 1.0, 10, 20), _transforms_grid(),
+                    Matte(kd=(0.2, 0.4, 0.8)))
+    scene = s.build()
+    tl = scene.inst
+    rng = np.random.RandomState(3)
+    r = 6 * RAY_TILE
+    o = rng.rand(r, 3).astype(np.float32) * 8 - 4
+    d = rng.randn(r, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = np.where(rng.rand(r) < 0.3, rng.rand(r) * 4 + 0.1,
+                     np.inf).astype(np.float32)
+    act = rng.rand(r) < 0.15
+
+    args = (tl, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max),
+            scene.world_lo, scene.world_hi)
+    full = closest_hit_instanced(
+        *args, interpret=True, active=jnp.asarray(act), compact=False)
+    casc = closest_hit_instanced(
+        *args, interpret=True, active=jnp.asarray(act), compact=True)
+    hf, hc = np.asarray(full.hit), np.asarray(casc.hit)
+    assert (hf[act] == hc[act]).all()
+    both = hf & hc & act
+    assert (np.asarray(full.tri)[both] == np.asarray(casc.tri)[both]).all()
+    np.testing.assert_allclose(
+        np.asarray(full.t)[both], np.asarray(casc.t)[both], rtol=1e-5)
+
+    of = np.asarray(any_hit_instanced(
+        *args, interpret=True, active=jnp.asarray(act), compact=False))
+    oc = np.asarray(any_hit_instanced(
+        *args, interpret=True, active=jnp.asarray(act), compact=True))
+    assert (of[act] == oc[act]).all()
