@@ -912,12 +912,14 @@ def render_lanes(
             jnp.where(med_go[..., None], r_l_new_m, r_l),
         )
         eta_scale = jnp.where(surf_go, eta_scale * bs.eta_scale, eta_scale)
-        # dispersion: refracting through a Cauchy glass makes the hero
-        # wavelength the only valid one (pbrt TerminateSecondary)
+        # dispersion: refracting through a Cauchy/Sellmeier glass makes the
+        # hero wavelength the only valid one (pbrt TerminateSecondary)
         if mt.GLASS in scene.present_materials:
+            gi = jnp.maximum(sd["mat_idx"], 0)
             dispersive = (
                 (sd["mat_type"] == mt.GLASS)
-                & (scene.materials.glass_cauchy[jnp.maximum(sd["mat_idx"], 0)] > 0.0)
+                & ((scene.materials.glass_cauchy[gi] > 0.0)
+                   | (scene.materials.glass_sell[gi, 0] > 0.0))
             )
             disp_term = disp_term | (surf_go & bs.transmission & dispersive)
         # interface crossings leave MIS state untouched; medium scatters are

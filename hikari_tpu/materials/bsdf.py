@@ -204,10 +204,20 @@ def _glass_alpha(banks, idx, regularize, tex):
 
 
 def glass_eta_hero(banks, idx, lam):
-    """Dispersive IOR at the hero wavelength: eta + B / lambda_um^2
-    (Cauchy; spectral IOR eval, spectral-eval.jl:207-221)."""
-    lam0_um2 = (lam[..., 0] * 1e-3) ** 2
-    return _bl(banks.glass_eta, idx) + _bl(banks.glass_cauchy, idx) / jnp.maximum(lam0_um2, 1e-6)
+    """Dispersive IOR at the hero wavelength (spectral IOR eval,
+    spectral-eval.jl:207-221): measured three-term Sellmeier
+    n^2 = 1 + sum B_i L / (L - C_i) when the bank row carries
+    coefficients (B1 > 0), else the Cauchy eta + B / lambda_um^2 fit."""
+    L = jnp.maximum((lam[..., 0] * 1e-3) ** 2, 1e-6)  # um^2
+    cauchy = (_bl(banks.glass_eta, idx)
+              + _bl(banks.glass_cauchy, idx) / L)
+    sell = _bl(banks.glass_sell, idx)                  # (..., 6)
+    b, c = sell[..., 0:3], sell[..., 3:6]
+    Le = L[..., None]
+    n2 = 1.0 + jnp.sum(b * Le / jnp.where(jnp.abs(Le - c) < 1e-9,
+                                          1e-9, Le - c), axis=-1)
+    eta_sell = jnp.sqrt(jnp.maximum(n2, 1.0))
+    return jnp.where(sell[..., 0] > 0.0, eta_sell, cauchy)
 
 
 def sample_glass(banks, idx, table, wo, lam, u2, uc, tex=None, regularize=None) -> BSDFSample:

@@ -69,30 +69,44 @@ class Glass:
     v_roughness: float = 0.0
     remap_roughness: bool = True
     cauchy_b: float = 0.0  # um^2
+    # measured dispersion: (B1,B2,B3,C1,C2,C3) Sellmeier coefficients
+    # (lambda in um, C in um^2); overrides eta/cauchy_b when B1 > 0
+    sellmeier: tuple = (0.0,) * 6
 
 
 def BK7(**kw):
-    """Borosilicate crown glass with measured-ish dispersion."""
-    return Glass(eta=1.5046, cauchy_b=0.00420, **kw)
+    """N-BK7 borosilicate crown (SCHOTT catalog Sellmeier)."""
+    return Glass(eta=1.5168, sellmeier=(
+        1.03961212, 0.231792344, 1.01046945,
+        0.00600069867, 0.0200179144, 103.560653), **kw)
 
 
 def SF11(**kw):
-    """Dense flint glass (strong dispersion; Cauchy fit of the Sellmeier
-    data at d/F/C lines)."""
-    return Glass(eta=1.7437, cauchy_b=0.01323, **kw)
+    """N-SF11 dense flint (SCHOTT catalog Sellmeier; strong dispersion)."""
+    return Glass(eta=1.7847, sellmeier=(
+        1.73759695, 0.313747346, 1.89878101,
+        0.013188707, 0.0623068142, 155.23629), **kw)
 
 
 def Sapphire(**kw):
-    return Glass(eta=1.7523, cauchy_b=0.00544, **kw)
+    """Sapphire, ordinary ray (Malitson & Dodge Sellmeier)."""
+    return Glass(eta=1.7682, sellmeier=(
+        1.4313493, 0.65054713, 5.3414021,
+        0.0052799261, 0.0142382647, 325.017834), **kw)
 
 
 def FusedSilica(**kw):
-    return Glass(eta=1.4504, cauchy_b=0.00342, **kw)
+    """Fused silica (Malitson 1965 Sellmeier)."""
+    return Glass(eta=1.4585, sellmeier=(
+        0.6961663, 0.4079426, 0.8974794,
+        0.0046791483, 0.0135120631, 97.9340025), **kw)
 
 
 def Diamond(**kw):
-    """Diamond (n_d 2.4175; Cauchy fit gives the classic 'fire')."""
-    return Glass(eta=2.3818, cauchy_b=0.01211, **kw)
+    """Diamond (Peter 1923 two-term Sellmeier; n_d 2.4175)."""
+    return Glass(eta=2.4175, sellmeier=(
+        0.3306, 4.3356, 0.0,
+        0.030625, 0.011236, 1.0), **kw)
 
 
 @dataclass
@@ -254,6 +268,7 @@ class MaterialBanks:
     glass_kt: jnp.ndarray       # (Ng, 3)
     glass_eta: jnp.ndarray      # (Ng,)
     glass_cauchy: jnp.ndarray   # (Ng,) Cauchy B (um^2); > 0 = dispersive
+    glass_sell: jnp.ndarray     # (Ng, 6) Sellmeier B1..3,C1..3; B1 > 0 wins
     glass_ax: jnp.ndarray       # (Ng,)
     glass_ay: jnp.ndarray       # (Ng,)
     cond_eta: jnp.ndarray       # (Nc, 471) dense spectral eta
@@ -384,7 +399,7 @@ def pack_materials(
 
     matte_kd, matte_sigma, matte_kd_tex = [], [], []
     mirror_kr, mirror_kr_tex = [], []
-    glass = {k: [] for k in ("kr", "kt", "eta", "cauchy", "ax", "ay",
+    glass = {k: [] for k in ("kr", "kt", "eta", "cauchy", "sell", "ax", "ay",
                              "kr_tex", "kt_tex", "rough_tex")}
     cond_eta, cond_k, cond_ax, cond_ay, cond_rough_tex = [], [], [], [], []
     emis_le, emis_scale, emis_two, emis_le_tex = [], [], [], []
@@ -439,6 +454,7 @@ def pack_materials(
             glass["rough_tex"].append(rough_tex)
             glass["eta"].append(m.eta)
             glass["cauchy"].append(m.cauchy_b)
+            glass["sell"].append(tuple(m.sellmeier))
             glass["ax"].append(_remap_alpha_host(ur, m.remap_roughness))
             glass["ay"].append(_remap_alpha_host(vr, m.remap_roughness))
         elif isinstance(m, Conductor):
@@ -593,6 +609,9 @@ def pack_materials(
         glass_kt=pad3(glass["kt"], (1.0, 1.0, 1.0)),
         glass_eta=pad1(glass["eta"], 1.5),
         glass_cauchy=pad1(glass["cauchy"]),
+        glass_sell=jnp.asarray(
+            np.asarray(glass["sell"], np.float32).reshape(-1, 6)
+            if glass["sell"] else np.zeros((1, 6), np.float32)),
         glass_ax=pad1(glass["ax"]),
         glass_ay=pad1(glass["ay"]),
         cond_eta=jnp.asarray(

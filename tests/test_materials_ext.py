@@ -211,3 +211,37 @@ def test_material_coherence_gated_matches_none():
         VolPath(max_depth=3, samples_per_pixel=4,
                 material_coherence="gated"), scene, cam)))
     assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()
+
+
+def test_sellmeier_eta_matches_published_lines():
+    """Measured Sellmeier dispersion: n at the F/d/C spectral lines must
+    match the published values for N-BK7, N-SF11, and fused silica
+    (SCHOTT catalog / Malitson), and the Cauchy path must be unchanged
+    for plain Glass rows."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hikari_tpu.materials.bsdf import glass_eta_hero
+    from hikari_tpu.materials.types import (
+        BK7, SF11, FusedSilica, Glass, Matte, pack_materials,
+    )
+
+    mats = [BK7(), SF11(), FusedSilica(), Glass(eta=1.5, cauchy_b=0.004),
+            Matte()]
+    banks, tags, idxs, _present = pack_materials(mats)
+
+    # (glass bank row, wavelength nm, published n)
+    cases = [
+        (0, 486.13, 1.5224), (0, 587.56, 1.5168), (0, 656.27, 1.5143),
+        (1, 486.13, 1.8065), (1, 587.56, 1.7847), (1, 656.27, 1.7760),
+        (2, 486.13, 1.4631), (2, 587.56, 1.4585), (2, 656.27, 1.4564),
+    ]
+    for row, lam_nm, n_pub in cases:
+        lam = jnp.full((1, 4), lam_nm, jnp.float32)
+        n = float(glass_eta_hero(banks, jnp.array([row]), lam)[0])
+        assert abs(n - n_pub) < 2e-3, (row, lam_nm, n, n_pub)
+
+    # Cauchy row unaffected by the Sellmeier branch
+    lam = jnp.full((1, 4), 589.0, jnp.float32)
+    n = float(glass_eta_hero(banks, jnp.array([3]), lam)[0])
+    assert abs(n - (1.5 + 0.004 / 0.589**2)) < 1e-5
