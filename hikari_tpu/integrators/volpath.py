@@ -324,18 +324,21 @@ def _inst_xform_point(scene: SceneData, inst, p_obj):
 def _surface_data(scene: SceneData, rec, o, d, camera=None):
     """Gather hit-point attributes. Returns dict of per-lane arrays.
 
-    Per-triangle gathers run on the TPU scalar core (~1 Gelem/s), so the
-    fetch set is minimized: the face normal is precomputed per face, the
-    material (type, idx) and medium pair are packed into single words, and
-    uv / vertex-color / vertex-position fetches only exist in scenes that
-    bind textures (static property)."""
+    TPU gathers cost per ADDRESS (~5 ms fixed at 640k lanes regardless of
+    row width), so every per-face attribute — winding normal, three vertex
+    normals, packed material word, area-light id, medium pair — rides ONE
+    (F, 17) row gather (scene.face_rows); uv / vertex-color / vertex-
+    position fetches only exist in scenes that bind textures (static
+    property)."""
     from ..textures.atlas import TexCtx
 
     tri, inst = _face_decode(scene, rec.tri)
     p_hit = o + rec.t[..., None] * d
-    ng_raw = scene.ng_raw[tri]            # winding normal: points "outside"
+    rows = scene.face_rows[tri]           # (..., 17) one gather
+    ng_raw = rows[..., 0:3]               # winding normal: points "outside"
     ns = normalize(
-        interpolate(rec.b1, rec.b2, scene.n0[tri], scene.n1[tri], scene.n2[tri])
+        interpolate(rec.b1, rec.b2, rows[..., 3:6], rows[..., 6:9],
+                    rows[..., 9:12])
     )
     ns = jnp.where(jnp.sum(ns * ns, -1, keepdims=True) > 0.5, ns, ng_raw)
     if inst is not None:
@@ -363,7 +366,8 @@ def _surface_data(scene: SceneData, rec, o, d, camera=None):
         uv = jnp.zeros(tri.shape + (2,), jnp.float32)
         vcol = jnp.ones(tri.shape + (3,), jnp.float32)
 
-    packed = scene.mat_packed[tri]
+    packed = (rows[..., 12].astype(jnp.int32) << 16) | \
+        rows[..., 13].astype(jnp.int32)
     if inst is not None:
         ov = scene.inst_mat_packed[inst]  # per-instance material override
         packed = jnp.where(ov >= 0, ov, packed)
@@ -400,13 +404,12 @@ def _surface_data(scene: SceneData, rec, o, d, camera=None):
         mat_idx = jnp.where(is_mix, child_i, mat_idx)
 
     if mt.EMISSIVE in scene.present_materials:
-        arealight = scene.arealight_idx[tri]
+        arealight = rows[..., 14].astype(jnp.int32) - 1
     else:
         arealight = jnp.full_like(tri, -1)
     if scene.has_media or mt.INTERFACE in scene.present_materials:
-        medp = scene.med_packed[tri]
-        inside_med = (medp >> 16) - 1
-        outside_med = (medp & 0xFFFF) - 1
+        inside_med = rows[..., 15].astype(jnp.int32) - 1
+        outside_med = rows[..., 16].astype(jnp.int32) - 1
     else:
         inside_med = jnp.full_like(tri, -1)
         outside_med = jnp.full_like(tri, -1)
@@ -535,7 +538,9 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active,
 
         hit_something = running & rec.hit
         tri, sh_inst = _face_decode(scene, rec.tri)
-        mp = scene.mat_packed[tri]
+        rows = scene.face_rows[tri]       # one gather: mat | ng | media
+        mp = (rows[..., 12].astype(jnp.int32) << 16) | \
+            rows[..., 13].astype(jnp.int32)
         if sh_inst is not None:
             ov = scene.inst_mat_packed[sh_inst]
             mp = jnp.where(ov >= 0, ov, mp)
@@ -551,12 +556,13 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active,
         crossing = hit_something & passthrough
         # advance through the interface
         p_hit = o_cur + rec.t[..., None] * wi
-        ng_raw = scene.ng_raw[tri]
+        ng_raw = rows[..., 0:3]
         if sh_inst is not None:
             ng_raw = _inst_xform_normal(scene, sh_inst, ng_raw)
         entering_inside = jnp.sum(wi * ng_raw, -1) < 0.0
-        medp = scene.med_packed[tri]
-        new_med = jnp.where(entering_inside, (medp >> 16) - 1, (medp & 0xFFFF) - 1)
+        new_med = jnp.where(entering_inside,
+                            rows[..., 15].astype(jnp.int32) - 1,
+                            rows[..., 16].astype(jnp.int32) - 1)
         med = jnp.where(crossing, new_med, med)
         o_cur = jnp.where(crossing[..., None], p_hit + 1e-4 * wi, o_cur)
         t_rem = jnp.where(crossing, t_rem - rec.t - 1e-4, t_rem)

@@ -32,6 +32,23 @@ def _face_normals(p0, p1, p2):
     return (n / ln).astype(np.float32)
 
 
+def _pack_face_rows(ng_raw, n0, n1, n2, mat_packed, med_packed,
+                    arealight_idx):
+    """(F, 17) f32 rows [ng_raw | n0 | n1 | n2 | mat hi/lo | arealight+1 |
+    med hi/lo]. Int fields ride as exact-in-f32 16-bit halves, never
+    bitcast (TPU float paths canonicalize NaN payloads)."""
+    mp = mat_packed.astype(np.int64)
+    med = med_packed.astype(np.int64)
+    cols = [
+        ng_raw, n0, n1, n2,
+        (mp >> 16)[:, None], (mp & 0xFFFF)[:, None],
+        (arealight_idx.astype(np.int64) + 1)[:, None],
+        (med >> 16)[:, None], (med & 0xFFFF)[:, None],
+    ]
+    return np.concatenate(
+        [np.asarray(c, np.float32) for c in cols], axis=1)
+
+
 @pytree_dataclass(
     static=(
         "present_materials", "n_lights", "n_faces", "has_media", "has_alpha",
@@ -58,6 +75,11 @@ class SceneData:
     med_packed: jnp.ndarray     # (F,) int32 ((inside+1) << 16 | (outside+1))
     ng_raw: jnp.ndarray         # (F, 3) unit winding face normal
     arealight_idx: jnp.ndarray  # (F,) int32 area light id; -1 if none
+    # (F, 17) packed attribute rows [ng_raw | n0 | n1 | n2 | mat hi/lo |
+    # arealight+1 | med hi/lo]: TPU gathers cost per ADDRESS, so the hot
+    # shading path fetches every per-face attribute with ONE row gather
+    # (volpath._surface_data) instead of six
+    face_rows: jnp.ndarray
     inside_medium: jnp.ndarray  # (F,) int32 medium id behind the face; -1 vacuum
     outside_medium: jnp.ndarray  # (F,) int32 medium id in front; -1 vacuum
     alpha_const: jnp.ndarray    # (F,) surface alpha (1 = opaque)
@@ -392,6 +414,15 @@ class Scene:
             ),
             ng_raw=jnp.asarray(_face_normals(p0[order], p1[order], p2[order])),
             arealight_idx=jnp.asarray(arealight_idx[order]),
+            face_rows=jnp.asarray(_pack_face_rows(
+                _face_normals(p0[order], p1[order], p2[order]),
+                n0[order], n1[order], n2[order],
+                (face_type[order].astype(np.int32) << 24)
+                | face_idx[order].astype(np.int32),
+                ((inside_of_face[order].astype(np.int32) + 1) << 16)
+                | (outside_of_face[order].astype(np.int32) + 1),
+                arealight_idx[order],
+            )),
             inside_medium=jnp.asarray(inside_of_face[order]),
             outside_medium=jnp.asarray(outside_of_face[order]),
             alpha_const=jnp.asarray(alpha_const[order]),
@@ -662,6 +693,9 @@ def _build_instanced_scene(self, traversal: str) -> SceneData:
         med_packed=jnp.asarray(med_packed),
         ng_raw=jnp.asarray(ng_raw),
         arealight_idx=jnp.asarray(arealight_idx),
+        face_rows=jnp.asarray(_pack_face_rows(
+            ng_raw, cat("n0"), cat("n1"), cat("n2"),
+            face_packed, med_packed, arealight_idx)),
         inside_medium=jnp.asarray((med_packed >> 16) - 1),
         outside_medium=jnp.asarray((med_packed & 0xFFFF) - 1),
         alpha_const=jnp.asarray(alpha_const),
