@@ -348,8 +348,11 @@ def _surface_data(scene: SceneData, rec, o, d, camera=None):
 
     duvdx = duvdy = None
     if scene.materials.has_textures:
-        uv = interpolate(rec.b1, rec.b2, scene.uv0[tri], scene.uv1[tri], scene.uv2[tri])
-        vcol = interpolate(rec.b1, rec.b2, scene.c0[tri], scene.c1[tri], scene.c2[tri])
+        trows = scene.tex_rows[tri]       # one gather: uv + vertex colors
+        uv = interpolate(rec.b1, rec.b2, trows[..., 0:2], trows[..., 2:4],
+                         trows[..., 4:6])
+        vcol = interpolate(rec.b1, rec.b2, trows[..., 6:9], trows[..., 9:12],
+                           trows[..., 12:15])
         if camera is not None:
             q0 = scene.bvh.p0[tri]
             q1 = scene.bvh.p1[tri]
@@ -360,7 +363,7 @@ def _surface_data(scene: SceneData, rec, o, d, camera=None):
                 q2 = _inst_xform_point(scene, inst, q2)
             duvdx, duvdy = _uv_screen_derivatives(
                 camera, p_hit, q0, q1, q2,
-                scene.uv0[tri], scene.uv1[tri], scene.uv2[tri],
+                trows[..., 0:2], trows[..., 2:4], trows[..., 4:6],
             )
     else:
         uv = jnp.zeros(tri.shape + (2,), jnp.float32)
@@ -445,10 +448,12 @@ def _alpha_keep(scene: SceneData, rec, p_hit, u_salt: int = 0):
     from ..textures.atlas import TexCtx, eval_scalar
 
     tri, _ = _face_decode(scene, rec.tri)
-    a = scene.alpha_const[tri]
-    uv = interpolate(rec.b1, rec.b2, scene.uv0[tri], scene.uv1[tri], scene.uv2[tri])
+    trows = scene.tex_rows[tri]           # one gather: alpha + uv
+    a = trows[..., 15]
+    uv = interpolate(rec.b1, rec.b2, trows[..., 0:2], trows[..., 2:4],
+                     trows[..., 4:6])
     ctx = TexCtx(uv=uv, vcolor=jnp.ones(uv.shape[:-1] + (3,), jnp.float32))
-    a = eval_scalar(scene.atlas, scene.alpha_tex[tri], a, ctx)
+    a = eval_scalar(scene.atlas, trows[..., 16].astype(jnp.int32) - 1, a, ctx)
     hx = jax.lax.bitcast_convert_type(p_hit[..., 0], jnp.uint32)
     hy = jax.lax.bitcast_convert_type(p_hit[..., 1], jnp.uint32)
     hz = jax.lax.bitcast_convert_type(p_hit[..., 2], jnp.uint32)

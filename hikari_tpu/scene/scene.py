@@ -32,6 +32,16 @@ def _face_normals(p0, p1, p2):
     return (n / ln).astype(np.float32)
 
 
+def _pack_tex_rows(uv0, uv1, uv2, c0, c1, c2, alpha_const, alpha_tex):
+    """(F, 17) f32 rows [uv0 uv1 uv2 | c0 c1 c2 | alpha | alpha_tex+1]
+    for the textured/alpha fetch paths (one gather instead of 4-6)."""
+    cols = [uv0, uv1, uv2, c0, c1, c2,
+            np.asarray(alpha_const)[:, None],
+            (np.asarray(alpha_tex).astype(np.int64) + 1)[:, None]]
+    return np.concatenate(
+        [np.asarray(c, np.float32) for c in cols], axis=1)
+
+
 def _pack_face_rows(ng_raw, n0, n1, n2, mat_packed, med_packed,
                     arealight_idx):
     """(F, 17) f32 rows [ng_raw | n0 | n1 | n2 | mat hi/lo | arealight+1 |
@@ -80,6 +90,9 @@ class SceneData:
     # shading path fetches every per-face attribute with ONE row gather
     # (volpath._surface_data) instead of six
     face_rows: jnp.ndarray
+    # (F, 17) [uv0 uv1 uv2 | c0 c1 c2 | alpha | alpha_tex+1] for the
+    # textured / stochastic-alpha fetch paths
+    tex_rows: jnp.ndarray
     inside_medium: jnp.ndarray  # (F,) int32 medium id behind the face; -1 vacuum
     outside_medium: jnp.ndarray  # (F,) int32 medium id in front; -1 vacuum
     alpha_const: jnp.ndarray    # (F,) surface alpha (1 = opaque)
@@ -423,6 +436,11 @@ class Scene:
                 | (outside_of_face[order].astype(np.int32) + 1),
                 arealight_idx[order],
             )),
+            tex_rows=jnp.asarray(_pack_tex_rows(
+                uv0[order], uv1[order], uv2[order],
+                c0[order], c1[order], c2[order],
+                alpha_const[order], alpha_tex[order],
+            )),
             inside_medium=jnp.asarray(inside_of_face[order]),
             outside_medium=jnp.asarray(outside_of_face[order]),
             alpha_const=jnp.asarray(alpha_const[order]),
@@ -696,6 +714,10 @@ def _build_instanced_scene(self, traversal: str) -> SceneData:
         face_rows=jnp.asarray(_pack_face_rows(
             ng_raw, cat("n0"), cat("n1"), cat("n2"),
             face_packed, med_packed, arealight_idx)),
+        tex_rows=jnp.asarray(_pack_tex_rows(
+            cat("uv0"), cat("uv1"), cat("uv2"),
+            cat("c0"), cat("c1"), cat("c2"),
+            alpha_const, alpha_tex)),
         inside_medium=jnp.asarray((med_packed >> 16) - 1),
         outside_medium=jnp.asarray((med_packed & 0xFFFF) - 1),
         alpha_const=jnp.asarray(alpha_const),
