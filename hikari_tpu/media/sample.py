@@ -16,6 +16,8 @@ from the propagation direction (-wo), i.e. p = hg(dot(-wo, wi), g) with the
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +36,11 @@ from .types import BRICK, BRICK_DIM, GRID, HOMOGENEOUS, MAJORANT_RES, RGBGRID, M
 # (sigma_maj * diameter ~ 40 mean free paths + ~50 cell crossings) while
 # keeping single-dispatch program runtimes inside device watchdog limits.
 MAX_TRACK_STEPS = 512
+
+# stochastic one-corner trilinear reads inside the tracking loops (see
+# _stoch_corner): unbiased where the density enters linearly, 1 gather
+# per step instead of 8. HIKARI_STOCH_TRILERP=0 restores exact trilinear.
+STOCH_TRILERP = _os.environ.get("HIKARI_STOCH_TRILERP", "1") != "0"
 ONE_MINUS_EPS = jnp.float32(1.0 - 2**-24)
 
 # lane status codes for delta tracking
@@ -116,8 +123,25 @@ def hg_sample(g, wo, u2):
 # --- medium property lookup ----------------------------------------------------
 
 
-def _grid_density(banks: MediumBanks, midx, p):
-    """Trilinear density lookup in medium-local [0,1]^3 (media.jl:1544-1758)."""
+def _stoch_corner(x0, x1, y0, y1, z0, z1, dx, dy, dz, u3):
+    """Pick one trilinear corner with its weight as probability: each axis
+    independently takes the upper corner with prob d{x,y,z}, so
+    P(corner) = trilinear weight and a single-corner read is an unbiased
+    estimate of the interpolated value. Valid wherever the estimate
+    enters LINEARLY (delta/ratio tracking accept probabilities and null
+    weights); adds collision noise, removes 7 of 8 per-step gathers
+    (TPU gathers cost per address: ~5 ms/op at 640k lanes)."""
+    xi = jnp.where(u3[..., 0] < dx, x1, x0)
+    yi = jnp.where(u3[..., 1] < dy, y1, y0)
+    zi = jnp.where(u3[..., 2] < dz, z1, z0)
+    return xi, yi, zi
+
+
+def _grid_density(banks: MediumBanks, midx, p, u3=None):
+    """Trilinear density lookup in medium-local [0,1]^3 (media.jl:1544-1758).
+
+    u3: optional (..., 3) uniforms — stochastic one-corner estimate (see
+    _stoch_corner) instead of the exact 8-gather interpolation."""
     lo = _bl(banks.bounds_lo, midx)
     hi = _bl(banks.bounds_hi, midx)
     res = _bl(banks.grid_res, midx)  # (..., 3) = (nx, ny, nz)
@@ -147,6 +171,9 @@ def _grid_density(banks: MediumBanks, midx, p):
         lin = off + (zi * ny + yi) * nx + xi
         return banks.density[jnp.clip(lin, 0, banks.density.shape[0] - 1)]
 
+    if u3 is not None:
+        d = at(*_stoch_corner(x0, x1, y0, y1, z0, z1, dx, dy, dz, u3))
+        return jnp.where(inside, d, 0.0)
     c00 = at(x0, y0, z0) * (1 - dx) + at(x1, y0, z0) * dx
     c10 = at(x0, y1, z0) * (1 - dx) + at(x1, y1, z0) * dx
     c01 = at(x0, y0, z1) * (1 - dx) + at(x1, y0, z1) * dx
@@ -157,7 +184,7 @@ def _grid_density(banks: MediumBanks, midx, p):
     return jnp.where(inside, d, 0.0)
 
 
-def _brick_density(banks: MediumBanks, midx, p):
+def _brick_density(banks: MediumBanks, midx, p, u3=None):
     """Trilinear density through the sparse brick page table (the TPU form
     of the reference's NanoVDB root/upper/lower/leaf descent,
     nanovdb.jl:315-418): per corner voxel, ONE aligned int32 table gather
@@ -198,6 +225,9 @@ def _brick_density(banks: MediumBanks, midx, p):
         v = banks.brick_vals[jnp.clip(lin, 0, banks.brick_vals.shape[0] - 1)]
         return jnp.where(bid >= 0, v, bg)
 
+    if u3 is not None:
+        d = at(*_stoch_corner(x0, x1, y0, y1, z0, z1, dx, dy, dz, u3))
+        return jnp.where(inside, d, 0.0)
     c00 = at(x0, y0, z0) * (1 - dx) + at(x1, y0, z0) * dx
     c10 = at(x0, y1, z0) * (1 - dx) + at(x1, y1, z0) * dx
     c01 = at(x0, y0, z1) * (1 - dx) + at(x1, y0, z1) * dx
@@ -208,8 +238,10 @@ def _brick_density(banks: MediumBanks, midx, p):
     return jnp.where(inside, d, 0.0)
 
 
-def _rgb_grid_trilinear(banks: MediumBanks, midx, p, buffer):
-    """Trilinear lookup into a flat per-voxel RGB buffer (RGBGridMedium)."""
+def _rgb_grid_trilinear(banks: MediumBanks, midx, p, buffer, u3=None):
+    """Trilinear lookup into a flat per-voxel RGB buffer (RGBGridMedium).
+
+    u3: optional (..., 3) uniforms -> stochastic one-corner estimate."""
     lo = _bl(banks.bounds_lo, midx)
     hi = _bl(banks.bounds_hi, midx)
     res = _bl(banks.grid_res, midx)
@@ -237,6 +269,10 @@ def _rgb_grid_trilinear(banks: MediumBanks, midx, p, buffer):
         lin = off + (zi * ny + yi) * nx + xi
         return buffer[jnp.clip(lin, 0, buffer.shape[0] - 1)]
 
+    if u3 is not None:
+        xi, yi, zi = _stoch_corner(
+            x0, x1, y0, y1, z0, z1, dx[..., 0], dy[..., 0], dz[..., 0], u3)
+        return jnp.where(inside[..., None], at(xi, yi, zi), 0.0)
     c00 = at(x0, y0, z0) * (1 - dx) + at(x1, y0, z0) * dx
     c10 = at(x0, y1, z0) * (1 - dx) + at(x1, y1, z0) * dx
     c01 = at(x0, y0, z1) * (1 - dx) + at(x1, y0, z1) * dx
@@ -247,35 +283,39 @@ def _rgb_grid_trilinear(banks: MediumBanks, midx, p, buffer):
     return jnp.where(inside[..., None], v, 0.0)
 
 
-def medium_properties(banks: MediumBanks, table, midx, p, lam):
+def medium_properties(banks: MediumBanks, table, midx, p, lam, u3=None):
     """sigma_a, sigma_s, Le at wavelengths lam; HG g (sample_point analog).
 
-    midx (...,), p (...,3), lam (...,4) -> spectra (...,4), g (...,)."""
+    midx (...,), p (...,3), lam (...,4) -> spectra (...,4), g (...,).
+
+    u3: optional (..., 3) uniforms — stochastic one-corner density reads
+    (see _stoch_corner), used by the tracking loops where the density
+    enters linearly; exact trilinear elsewhere."""
     sa = coeff4_eval(_bl(banks.sigma_a_c4, midx), lam)
     ss = coeff4_eval(_bl(banks.sigma_s_c4, midx), lam)
     le = coeff4_eval(_bl(banks.le_c4, midx), lam)
     g = _bl(banks.g, midx)
     mtype = _bl(banks.med_type, midx)
     if banks.has_brick:
-        dens_b = _brick_density(banks, midx, p)
+        dens_b = _brick_density(banks, midx, p, u3)
         scale_b = jnp.where(mtype == BRICK, dens_b, 1.0)
         sa = sa * scale_b[..., None]
         ss = ss * scale_b[..., None]
     if banks.has_grid:
-        dens = _grid_density(banks, midx, p)
+        dens = _grid_density(banks, midx, p, u3)
         scale = jnp.where(mtype == GRID, dens, 1.0)
         sa = sa * scale[..., None]
         ss = ss * scale[..., None]
         is_rgb = mtype == RGBGRID
         # RGBGridMedium: absolute per-voxel coefficients
         sa_rgb = rgb_unbounded_eval(
-            table, _rgb_grid_trilinear(banks, midx, p, banks.rgb_sa), lam
+            table, _rgb_grid_trilinear(banks, midx, p, banks.rgb_sa, u3), lam
         )
         ss_rgb = rgb_unbounded_eval(
-            table, _rgb_grid_trilinear(banks, midx, p, banks.rgb_ss), lam
+            table, _rgb_grid_trilinear(banks, midx, p, banks.rgb_ss, u3), lam
         )
         le_rgb = rgb_unbounded_eval(
-            table, _rgb_grid_trilinear(banks, midx, p, banks.rgb_le), lam
+            table, _rgb_grid_trilinear(banks, midx, p, banks.rgb_le, u3), lam
         )
         sa = jnp.where(is_rgb[..., None], sa_rgb, sa)
         ss = jnp.where(is_rgb[..., None], ss_rgb, ss)
@@ -475,7 +515,14 @@ def delta_track(
         inter = tracking & ~past
         t_maj = jnp.exp(-dt[..., None] * sig_maj)
         p = p_cur + dt[..., None] * d_cur
-        sa, ss_, le, g = medium_properties(banks, table, mi, p, lam)
+        if STOCH_TRILERP:
+            rng, ua = lcg_next(rng)
+            rng, ub = lcg_next(rng)
+            rng, uc = lcg_next(rng)
+            u3 = jnp.stack([ua, ub, uc], -1)
+        else:
+            u3 = None
+        sa, ss_, le, g = medium_properties(banks, table, mi, p, lam, u3=u3)
         # imperfect majorants (rgb uplift overshoot) are clamped: a tiny
         # bias pbrt accepts the same way
         sa = jnp.minimum(sa, sig_maj)
@@ -634,7 +681,14 @@ def ratio_track_tr(
         inter = running & ~past
         t_maj = jnp.exp(-dt[..., None] * sig_maj)
         p = o + t_new[..., None] * d
-        sa, ss_, _, _ = medium_properties(banks, table, mi, p, lam)
+        if STOCH_TRILERP:
+            rng, ua = lcg_next(rng)
+            rng, ub = lcg_next(rng)
+            rng, uc = lcg_next(rng)
+            u3 = jnp.stack([ua, ub, uc], -1)
+        else:
+            u3 = None
+        sa, ss_, _, _ = medium_properties(banks, table, mi, p, lam, u3=u3)
         sa = jnp.minimum(sa, sig_maj)
         ss_ = jnp.minimum(ss_, jnp.maximum(sig_maj - sa, 0.0))
         sig_n = jnp.maximum(sig_maj - sa - ss_, 0.0)
