@@ -24,6 +24,9 @@ HIKARI_BAND_FRAC=0.15 run bench_band015 python -u bench.py
 # A/B: treelet size under the bit-packed kernel (resets pair chunking)
 HIKARI_TREELET=512 run bench_tt512 python -u bench.py
 HIKARI_TREELET=1024 run bench_tt1024 python -u bench.py
+# A/B: ray-tile height (tighter frusta vs per-op overhead)
+HIKARI_RAY_TILE=512 run bench_rt512 python -u bench.py
 # media bench config sensitivity to stochastic trilinear
-HIKARI_STOCH_TRILERP=0 run bench_exact_trilerp python -u bench.py
+BENCH_SCENE=fog run bench_fog python -u bench.py
+BENCH_SCENE=fog HIKARI_STOCH_TRILERP=0 run bench_fog_exact python -u bench.py
 echo "all logs in $OUT"
