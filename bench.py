@@ -25,6 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: the VolPath step (especially the resident
+# cascade, which traces the bounce body once per prefix level) is
+# compile-heavy; remote-TPU compiles run 30+ min cold. Any prior run on
+# the same backend (tools/hw_measure.sh, tests) pre-warms this.
+jax.config.update("jax_compilation_cache_dir", "/tmp/hikari_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def build_scene():
     from hikari_tpu.lights.types import PointLight
@@ -103,7 +110,10 @@ def run(res_px: int, n_iters: int):
             (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
         )
     filt = make_filter()
-    vp = VolPath(max_depth=depth, samples_per_pixel=256)
+    vp = VolPath(max_depth=depth, samples_per_pixel=256,
+                 resident=os.environ.get("HIKARI_RESIDENT", "auto"),
+                 resident_levels=int(
+                     os.environ.get("HIKARI_RESIDENT_LEVELS", "0")))
 
     w, h = res
     lanes = jnp.arange(w * h, dtype=jnp.uint32)

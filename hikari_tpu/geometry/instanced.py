@@ -297,14 +297,18 @@ def _pair_tnear(meta, tnear, n_pairs):
     return tnear[tile, treelet]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "compact"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "compact", "presorted"))
 def closest_hit_instanced(
     tl: InstancedTreelets, o, d, t_max, world_lo, world_hi,
     interpret: bool = False, active=None, compact: bool | None = None,
+    presorted: bool = False,
 ) -> HitRecord:
     """Two-level closest hit. Returns tri = world_treelet * TREELET + j.
 
-    compact: live-lane static-prefix cascade, as in closest_hit_packets."""
+    compact: live-lane static-prefix cascade, as in closest_hit_packets.
+    presorted: skip the internal sort/unsort — the caller already ordered
+    lanes tile-coherently with live lanes first (see closest_hit_packets)."""
     from .wavefront import _prefix_levels, _run_cascade
 
     if compact is None:
@@ -317,10 +321,13 @@ def closest_hit_instanced(
     assert n_pad // RAY_TILE <= (1 << (31 - TILE_SHIFT)), \
         "ray count exceeds tile field"
 
-    keys = ray_sort_keys(o, d, world_lo, world_hi)
-    keys = jnp.minimum(keys, jnp.uint32(0xFFFFFFFE))
-    keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
-    order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
+    if presorted:
+        order, os_, ds, ts = None, o, d, t_max
+    else:
+        keys = ray_sort_keys(o, d, world_lo, world_hi)
+        keys = jnp.minimum(keys, jnp.uint32(0xFFFFFFFE))
+        keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
+        order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
 
     def run(sz):
         os_s, ds_s, ts_s = os_[:sz], ds[:sz], ts[:sz]
@@ -353,7 +360,8 @@ def closest_hit_instanced(
     else:
         t_res, tri, b1, b2 = run(n_pad)
 
-    t_res, b1, b2, tri = _unsort_hits(order, n_pad, t_res, b1, b2, tri)
+    if order is not None:
+        t_res, b1, b2, tri = _unsort_hits(order, n_pad, t_res, b1, b2, tri)
     t_res, tri, b1, b2 = t_res[:n], tri[:n], b1[:n], b2[:n]
     return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
 

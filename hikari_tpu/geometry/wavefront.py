@@ -671,10 +671,12 @@ def _run_cascade(live, levels, run):
     return at(0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "compact"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "compact", "presorted"))
 def closest_hit_packets(
     tl: Treelets, o, d, t_max, world_lo, world_hi, interpret: bool = False,
     active=None, band=None, compact: bool | None = None,
+    presorted: bool = False,
 ) -> HitRecord:
     """Sorted-packet closest hit over the compacted pair list. o/d (R,3),
     t_max (R,). Returns HitRecord with tri indices into the BVH leaf order
@@ -691,7 +693,14 @@ def closest_hit_packets(
     compact: run the post-sort pipeline on a lax.cond-selected static
     prefix sized to the live-lane count (defaults to on when compiled,
     off in interpret mode where the extra traced branches only slow
-    tests)."""
+    tests).
+
+    presorted: the caller guarantees lanes already arrive in a
+    tile-coherent order with live lanes first (the resident bounce loop
+    sorts by the same ray_sort_keys once per bounce) — skip the internal
+    sort and the final unsort entirely. Correctness never depends on the
+    order (tiles are just whatever 1024-lane groups arrive), only packet
+    coherence does."""
     if compact is None:
         compact = not interpret
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37)
@@ -701,12 +710,15 @@ def closest_hit_packets(
     o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
     n_treelets = tl.lo.shape[0]
 
-    keys = ray_sort_keys(o, d, world_lo, world_hi)
-    # cap live keys below the dead-lane sentinel so the live prefix is
-    # contiguous after the sort (the compaction cascade slices it off)
-    keys = jnp.minimum(keys, jnp.uint32(0xFFFFFFFE))
-    keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
-    order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
+    if presorted:
+        order, os_, ds, ts = None, o, d, t_max
+    else:
+        keys = ray_sort_keys(o, d, world_lo, world_hi)
+        # cap live keys below the dead-lane sentinel so the live prefix is
+        # contiguous after the sort (the compaction cascade slices it off)
+        keys = jnp.minimum(keys, jnp.uint32(0xFFFFFFFE))
+        keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
+        order, os_, ds, ts = _sort_wavefront(o, d, t_max, keys)
 
     def keyify(t):
         # quantized t bits rounded UP (low index bits set), so unbeaten
@@ -774,7 +786,8 @@ def closest_hit_packets(
         t_res, b1, b2, tri = run(n_pad)
 
     # unsort and strip padding
-    t_res, b1, b2, tri = _unsort_hits(order, n_pad, t_res, b1, b2, tri)
+    if order is not None:
+        t_res, b1, b2, tri = _unsort_hits(order, n_pad, t_res, b1, b2, tri)
     t_res, tri, b1, b2 = t_res[:n], tri[:n], b1[:n], b2[:n]
     return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
 

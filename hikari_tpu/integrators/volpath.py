@@ -51,14 +51,24 @@ from ..spectral.cie import spectral_to_xyz, xyz_to_linear_srgb
 MAX_INTERFACE_CROSSINGS = 10  # shadow-ray boundary chain cap (intersection.jl:302)
 
 
-def scene_closest_hit(scene: SceneData, o, d, t_max, active=None):
-    """Dispatch to the scene's traversal engine (static choice)."""
+def scene_closest_hit(scene: SceneData, o, d, t_max, active=None,
+                      compact=None, presorted=False):
+    """Dispatch to the scene's traversal engine (static choice).
+
+    compact: pass False when the caller already runs on a live-compacted
+    static prefix (the resident bounce loop), so the traversal skips its
+    own redundant prefix cascade.
+
+    presorted: the caller's lanes are already tile-coherent live-first
+    (the resident loop sorts by the engines' own ray_sort_keys once per
+    bounce) — skip the engines' internal sort/unsort too."""
     if scene.has_instances:
         from ..geometry.instanced import closest_hit_instanced
 
         return closest_hit_instanced(
             scene.inst, o, d, t_max, scene.world_lo, scene.world_hi,
             interpret=scene.traversal == "packets_interp", active=active,
+            compact=compact, presorted=presorted,
         )
     if scene.traversal == "skiplink":
         if active is not None:
@@ -73,18 +83,19 @@ def scene_closest_hit(scene: SceneData, o, d, t_max, active=None):
     return closest_hit_packets(
         scene.treelets, o, d, t_max, scene.world_lo, scene.world_hi,
         interpret=scene.traversal == "packets_interp", active=active,
-        band=band,
+        band=band, compact=compact, presorted=presorted,
     )
 
 
-def scene_any_hit(scene: SceneData, o, d, t_max, active=None, group=None):
+def scene_any_hit(scene: SceneData, o, d, t_max, active=None, group=None,
+                  compact=None):
     if scene.has_instances:
         from ..geometry.instanced import any_hit_instanced
 
         return any_hit_instanced(
             scene.inst, o, d, t_max, scene.world_lo, scene.world_hi,
             interpret=scene.traversal == "packets_interp", active=active,
-            group=group,
+            group=group, compact=compact,
         )
     if scene.traversal == "skiplink":
         from ..geometry.traverse import any_hit
@@ -97,7 +108,7 @@ def scene_any_hit(scene: SceneData, o, d, t_max, active=None, group=None):
     return any_hit_packets(
         scene.treelets, o, d, t_max, scene.world_lo, scene.world_hi,
         interpret=scene.traversal == "packets_interp", active=active,
-        group=group,
+        group=group, compact=compact,
     )
 
 
@@ -111,7 +122,24 @@ class VolPath:
     runtime — the TPU translation of the reference's :per_type queue
     launches (multi-material-eval.jl:58-445), where an empty queue costs
     nothing. Gating wins for scenes with many material types that appear
-    on few surfaces; 'none' compiles smaller programs."""
+    on few surfaces; 'none' compiles smaller programs.
+
+    resident: 'on' | 'off' | 'auto' — keep the bounce-loop path state
+    RESIDENT in sorted-compacted lane order: each bounce permutes the
+    wavefront once (live lanes first, spatially sorted) and runs the
+    ENTIRE bounce body — traversal, media, shading, NEE — on a
+    lax.cond-selected static prefix sized to the live-lane count, so every
+    per-bounce cost (not just the pair sweeps) tracks path termination.
+    Lane order is restored once at the film write, not per sweep; the
+    per-sweep full-wavefront sort/unsort (~16 ms each at 640k lanes)
+    collapses into one permutation per bounce. 'auto' = on for the packet
+    traversal engines, off for skiplink. Per-lane transport is
+    permutation-invariant (samplers key on pixel ids, tracking RNG on ray
+    geometry), so results match the non-resident path to fp tolerance.
+
+    resident_levels: cascade depth for the resident prefix (n, n/2, ...);
+    0 = auto (4 compiled, 1 in interpret mode where extra traced branches
+    only slow tests). Each level traces the bounce body once more."""
 
     max_depth: int = 5
     samples_per_pixel: int = 16
@@ -119,7 +147,9 @@ class VolPath:
     regularize: bool = False
     max_component_value: float = 1e6  # firefly clamp
     seed: int = 0
-    material_coherence: str = "none"  # 'none' | 'gated' 
+    material_coherence: str = "none"  # 'none' | 'gated'
+    resident: str = "auto"  # 'on' | 'off' | 'auto'
+    resident_levels: int = 0  # 0 = auto
 
 
 # --- material dispatch helpers ------------------------------------------------
@@ -464,7 +494,8 @@ def _alpha_keep(scene: SceneData, rec, p_hit, u_salt: int = 0):
     return (~rec.hit) | (u < a)
 
 
-def _closest_hit_surface(scene: SceneData, o, d, t_max, active):
+def _closest_hit_surface(scene: SceneData, o, d, t_max, active, compact=None,
+                         presorted=False):
     """Closest hit with stochastic alpha: hits that fail the alpha test are
     skipped by re-tracing past them (bounded rounds; surviving lanes then
     accept whatever they stand on, matching the reference's 16-try cap).
@@ -472,7 +503,8 @@ def _closest_hit_surface(scene: SceneData, o, d, t_max, active):
     Returns a HitRecord with t relative to the original origin."""
     from ..geometry.traverse import HitRecord
 
-    rec = scene_closest_hit(scene, o, d, t_max, active=active)
+    rec = scene_closest_hit(scene, o, d, t_max, active=active, compact=compact,
+                            presorted=presorted)
     if not scene.has_alpha:
         return rec
     o_cur = o
@@ -485,7 +517,8 @@ def _closest_hit_surface(scene: SceneData, o, d, t_max, active):
         o_new = jnp.where(retrace[..., None], o_cur + t_adv[..., None] * d, o_cur)
         t_off_new = jnp.where(retrace, t_off + t_adv, t_off)
         rec2 = scene_closest_hit(
-            scene, o_new, d, jnp.maximum(t_max - t_off_new, 0.0), active=retrace
+            scene, o_new, d, jnp.maximum(t_max - t_off_new, 0.0),
+            active=retrace, compact=compact, presorted=presorted,
         )
         rec = HitRecord(
             hit=jnp.where(retrace, rec2.hit, rec.hit),
@@ -501,7 +534,7 @@ def _closest_hit_surface(scene: SceneData, o, d, t_max, active):
 
 
 def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active,
-                  light_group=None):
+                  light_group=None, compact=None):
     """Shadow ray with transmittance: walk through up to
     MAX_INTERFACE_CROSSINGS interface boundaries, ratio-tracking the medium
     transmittance of each segment (trace_shadow_transmittance,
@@ -516,7 +549,7 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active,
             and not scene.has_alpha):
         # fast path: plain occlusion test
         occluded = scene_any_hit(scene, o_sh, wi, t_max, active=active,
-                                 group=light_group)
+                                 group=light_group, compact=compact)
         T_ray = jnp.where(occluded[..., None], 0.0, ones4)
         return T_ray, ones4, ones4
 
@@ -529,7 +562,8 @@ def _trace_shadow(scene: SceneData, o_sh, wi, t_max, medium_sh, lam, active,
     med = medium_sh
 
     for _ in range(MAX_INTERFACE_CROSSINGS):
-        rec = scene_closest_hit(scene, o_cur, wi, t_rem, active=running)
+        rec = scene_closest_hit(scene, o_cur, wi, t_rem, active=running,
+                                compact=compact)
         seg_t = jnp.where(rec.hit, rec.t, t_rem)
 
         if scene.has_media:
@@ -676,6 +710,123 @@ def render_sample(
     return film_add_sample(film, rgb_img, w_img)
 
 
+# resident-state channel layout for the one-per-bounce permutation gather
+# (TPU gathers cost per ADDRESS: one (n, 42) row gather costs about the
+# same as one (n, 8), so the whole path state rides a single gather)
+_RES_F3 = ["o", "d", "prev_p", "prev_ns"]
+_RES_F4 = ["beta", "r_u", "r_l", "L", "lam"]
+_RES_SF = ["eta"]                              # f32 scalars
+_RES_SB = ["alive", "spec", "anyns", "disp"]   # bools
+_RES_SI = ["med", "lane"]                      # int32 (exact in f32: < 2^24)
+_RES_SU = ["px", "py", "si"]                   # uint32 (< 2^24)
+
+
+def _res_pack(st):
+    """State dict -> (n, C) f32 rows for the permutation row gather.
+
+    Integer channels ride as f32: every value is < 2^24 (pixel coords,
+    medium ids, lane ids up to 16M, sample indices) so the round trip is
+    exact — unlike bitcasting, which NaN-canonicalizes on TPU float paths
+    (see wavefront._unsort_hits)."""
+    cols = [st[k] for k in _RES_F3 + _RES_F4]
+    cols += [st[k][:, None] for k in _RES_SF]
+    cols += [st[k].astype(jnp.float32)[:, None]
+             for k in _RES_SB + _RES_SI + _RES_SU]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _res_unpack(rows):
+    st = {}
+    c = 0
+    for k in _RES_F3:
+        st[k] = rows[:, c:c + 3]
+        c += 3
+    for k in _RES_F4:
+        st[k] = rows[:, c:c + 4]
+        c += 4
+    for k in _RES_SF:
+        st[k] = rows[:, c]
+        c += 1
+    for k in _RES_SB:
+        st[k] = rows[:, c] > 0.5
+        c += 1
+    for k in _RES_SI:
+        st[k] = rows[:, c].astype(jnp.int32)
+        c += 1
+    for k in _RES_SU:
+        st[k] = rows[:, c].astype(jnp.uint32)
+        c += 1
+    return st
+
+
+def _resident_bounce_loop(vp, scene, st0, rays_traced, bounce_core, n):
+    """Drive the bounce loop with path state RESIDENT in sorted-compacted
+    order: each bounce permutes the wavefront once (live lanes first, then
+    by the traversal's spatial sort key) with a single packed row gather,
+    and runs the ENTIRE bounce body on the smallest static prefix holding
+    the live lanes (nested lax.cond over descending RAY_TILE-multiple
+    sizes, as in wavefront._run_cascade). Dead lanes beyond the prefix
+    keep their carried state (L, etc.) untouched via concatenation.
+
+    Lane order is restored ONCE after the loop by an inverse-permutation
+    row gather keyed on the carried lane ids — the per-sweep full-size
+    sort/unsort inside the traversal engines is skipped entirely
+    (compact=False there), so every per-bounce cost tracks path
+    termination. Returns (st, rays_traced, L, disp_term) with L/disp in
+    original lane order."""
+    from ..geometry.wavefront import (
+        RAY_TILE, _prefix_levels, _run_cascade, ray_sort_keys)
+
+    interp = scene.traversal == "packets_interp"
+    lv = vp.resident_levels or (1 if interp else 4)
+    n_pad = -(-n // RAY_TILE) * RAY_TILE
+    padk = n_pad - n
+    if padk:
+        st0 = {k: jnp.concatenate(
+            [v, jnp.zeros((padk,) + v.shape[1:], v.dtype)])
+            for k, v in st0.items()}
+        # pad lanes are dead (alive=False already via zeros) but need unit
+        # directions (sort keys), their own lane ids (the final inverse
+        # permutation must be a bijection), and no medium
+        st0["d"] = st0["d"].at[n:].set(1.0)
+        st0["lane"] = st0["lane"].at[n:].set(
+            jnp.arange(n, n_pad, dtype=jnp.int32))
+        st0["med"] = st0["med"].at[n:].set(-1)
+    levels = _prefix_levels(n_pad, max_levels=lv)
+
+    def bounce(depth, carry):
+        st, rays = carry
+        keys = ray_sort_keys(st["o"], st["d"], scene.world_lo, scene.world_hi)
+        keys = jnp.minimum(keys, jnp.uint32(0xFFFFFFFE))
+        keys = jnp.where(st["alive"], keys, jnp.uint32(0xFFFFFFFF))
+        _, order = jax.lax.sort_key_val(
+            keys, jnp.arange(n_pad, dtype=jnp.int32))
+        srt = _res_unpack(_res_pack(st)[order])
+
+        def run(sz):
+            sub = {k: v[:sz] for k, v in srt.items()}
+            out, r2 = bounce_core(depth, sub, rays)
+            if sz < n_pad:
+                out = {k: jnp.concatenate([v, srt[k][sz:]])
+                       for k, v in out.items()}
+            return out, r2
+
+        if len(levels) > 1:
+            live = jnp.sum(srt["alive"].astype(jnp.int32))
+            return _run_cascade(live, levels, run)
+        return run(n_pad)
+
+    st, rays_traced = jax.lax.fori_loop(
+        0, vp.max_depth, bounce, (st0, rays_traced))
+
+    # restore lane order once: inverse permutation + one packed row gather
+    inv = jnp.zeros((n_pad,), jnp.int32).at[st["lane"]].set(
+        jnp.arange(n_pad, dtype=jnp.int32))
+    packed = jnp.concatenate(
+        [st["L"], st["disp"].astype(jnp.float32)[:, None]], axis=1)[inv][:n]
+    return st, rays_traced, packed[:, 0:4], packed[:, 4] > 0.5
+
+
 def render_lanes(
     vp: VolPath,
     scene: SceneData,
@@ -710,27 +861,55 @@ def render_lanes(
     rays_traced = jnp.sum(zero)
     lam = wl.lam
     ones4 = 1.0 + jnp.zeros_like(lam)
-    beta = ones4
-    r_u = ones4
-    r_l = ones4
-    L = jnp.zeros_like(lam)
-    alive = zero == 0.0
-    specular = alive  # camera rays count as specular for MIS
-    eta_scale = 1.0 + zero
-    any_nonspec = zero != 0.0
-    medium_idx = zero.astype(jnp.int32) + scene.camera_medium
-    prev_p = o  # last real scattering vertex (for area-light pdf)
-    prev_ns = jnp.zeros_like(o)  # its shading normal (BVH-sampler pmf replay)
-    disp_term = zero != 0.0  # secondary wavelengths terminated (dispersion)
     n_lights = scene.n_lights
 
-    def bounce(depth, carry):
+    st0 = dict(
+        o=o,
+        d=d,
+        beta=ones4,
+        r_u=ones4,
+        r_l=ones4,
+        L=jnp.zeros_like(lam),
+        alive=zero == 0.0,
+        spec=zero == 0.0,  # camera rays count as specular for MIS
+        eta=1.0 + zero,
+        anyns=zero != 0.0,
+        med=zero.astype(jnp.int32) + scene.camera_medium,
+        prev_p=o,  # last real scattering vertex (for area-light pdf)
+        prev_ns=jnp.zeros_like(o),  # its shading normal (BVH pmf replay)
+        disp=zero != 0.0,  # secondary wavelengths terminated (dispersion)
+        lam=lam,
+        px=px.astype(jnp.uint32),
+        py=py.astype(jnp.uint32),
+        si=si,
+        lane=jnp.arange(n, dtype=jnp.int32) + zero.astype(jnp.int32),
+    )
+
+    # resident mode: the bounce body runs on a live-compacted sorted prefix
+    # (see VolPath.resident); the traversal engines then skip their own
+    # internal prefix cascade (compact=False)
+    use_resident = vp.resident == "on" or (
+        vp.resident == "auto" and scene.traversal != "skiplink"
+    )
+    trav_compact = False if use_resident else None
+
+    def bounce_core(depth, st, rays_traced):
+        """One bounce over an arbitrary-size lane subset `st` (the whole
+        wavefront, or a live-compacted sorted prefix of it)."""
         (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
-         medium_idx, prev_p, prev_ns, disp_term, rays_traced) = carry
+         medium_idx, prev_p, prev_ns, disp_term) = (
+            st["o"], st["d"], st["beta"], st["r_u"], st["r_l"], st["L"],
+            st["alive"], st["spec"], st["eta"], st["anyns"], st["med"],
+            st["prev_p"], st["prev_ns"], st["disp"])
+        lam, px, py, si = st["lam"], st["px"], st["py"], st["si"]
+        n = o.shape[0]
+        zero = o[..., 0] * 0.0
 
         t_max = jnp.full((n,), jnp.inf, jnp.float32) + zero
         rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        rec = _closest_hit_surface(scene, o, d, t_max, alive)
+        rec = _closest_hit_surface(scene, o, d, t_max, alive,
+                                   compact=trav_compact,
+                                   presorted=use_resident)
         t_hit = jnp.where(rec.hit, rec.t, t_max)
 
         # --- volumetric segment: delta tracking up to the surface
@@ -878,7 +1057,7 @@ def render_lanes(
             rays_traced = rays_traced + jnp.sum(contrib_ok.astype(jnp.float32))
             T_ray, rl_m, ru_m = _trace_shadow(
                 scene, o_sh, ls.wi, ls.t_max, med_sh, lam, contrib_ok,
-                light_group=li_flat,
+                light_group=li_flat, compact=trav_compact,
             )
             # pbrt SampleLd: r_l' = r_u*pdf_l*rl_m, r_u' = r_u*pdf_b*ru_m
             r_l_sh = r_u * pdf_l[..., None] * rl_m
@@ -984,15 +1163,24 @@ def render_lanes(
         )
         alive = alive & survive
 
-        return (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
-                medium_idx, prev_p, prev_ns, disp_term, rays_traced)
+        out = dict(st)
+        out.update(o=o, d=d, beta=beta, r_u=r_u, r_l=r_l, L=L, alive=alive,
+                   spec=specular, eta=eta_scale, anyns=any_nonspec,
+                   med=medium_idx, prev_p=prev_p, prev_ns=prev_ns,
+                   disp=disp_term)
+        return out, rays_traced
 
-    carry = (o, d, beta, r_u, r_l, L, alive, specular, eta_scale, any_nonspec,
-             medium_idx, prev_p, prev_ns, disp_term, rays_traced)
-    carry = jax.lax.fori_loop(0, vp.max_depth, bounce, carry)
-    L = carry[5]
-    disp_term = carry[13]
-    rays_traced = carry[14]
+    if not use_resident:
+        def body(i, carry):
+            return bounce_core(i, carry[0], carry[1])
+
+        st, rays_traced = jax.lax.fori_loop(
+            0, vp.max_depth, body, (st0, rays_traced))
+        L = st["L"]
+        disp_term = st["disp"]
+    else:
+        st, rays_traced, L, disp_term = _resident_bounce_loop(
+            vp, scene, st0, rays_traced, bounce_core, n)
 
     # --- film accumulation (vp_accumulate_to_rgb_kernel!, volpath.jl:326-375)
     # dispersion termination: zero the secondary-lambda pdfs and give the

@@ -18,6 +18,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/hikari_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, ".")
 from hikari_tpu.geometry import wavefront as wf  # noqa: E402
 

@@ -11,22 +11,31 @@ cd "$(dirname "$0")/.."
 run() {
   name=$1; shift
   echo "=== $name: $* ==="
-  timeout 2400 "$@" > "$OUT/$name.log" 2>&1
+  # generous cap: remote TPU compiles alone can take 30+ min, and the
+  # resident cascade multiplies the traced bounce body ~4x
+  timeout 5400 "$@" > "$OUT/$name.log" 2>&1
   echo "rc=$? (log: $OUT/$name.log)"
   tail -3 "$OUT/$name.log"
 }
 
 run consistency python -u tools/check_tpu_consistency.py
+run resident_check python -u tools/check_resident_hw.py
 run bench_default python -u bench.py
+# (env prefixes go through `env` so they can't leak into the `run`
+# function's shell environment across A/Bs)
+# A/B: resident sorted-compacted bounce loop (default 'auto' = on)
+run bench_nonresident env HIKARI_RESIDENT=off python -u bench.py
+# A/B: cascade depth (compile-time vs live-lane tracking granularity)
+run bench_res_lv2 env HIKARI_RESIDENT_LEVELS=2 python -u bench.py
 run prof_closest python -u tools/prof_closest_mini.py
 # A/B: banded sweep band fraction
-HIKARI_BAND_FRAC=0.15 run bench_band015 python -u bench.py
+run bench_band015 env HIKARI_BAND_FRAC=0.15 python -u bench.py
 # A/B: treelet size under the bit-packed kernel (resets pair chunking)
-HIKARI_TREELET=512 run bench_tt512 python -u bench.py
-HIKARI_TREELET=1024 run bench_tt1024 python -u bench.py
+run bench_tt512 env HIKARI_TREELET=512 python -u bench.py
+run bench_tt1024 env HIKARI_TREELET=1024 python -u bench.py
 # A/B: ray-tile height (tighter frusta vs per-op overhead)
-HIKARI_RAY_TILE=512 run bench_rt512 python -u bench.py
+run bench_rt512 env HIKARI_RAY_TILE=512 python -u bench.py
 # media bench config sensitivity to stochastic trilinear
-BENCH_SCENE=fog run bench_fog python -u bench.py
-BENCH_SCENE=fog HIKARI_STOCH_TRILERP=0 run bench_fog_exact python -u bench.py
+run bench_fog env BENCH_SCENE=fog python -u bench.py
+run bench_fog_exact env BENCH_SCENE=fog HIKARI_STOCH_TRILERP=0 python -u bench.py
 echo "all logs in $OUT"
