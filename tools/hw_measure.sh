@@ -38,4 +38,6 @@ run bench_rt512 env HIKARI_RAY_TILE=512 python -u bench.py
 # media bench config sensitivity to stochastic trilinear
 run bench_fog env BENCH_SCENE=fog python -u bench.py
 run bench_fog_exact env BENCH_SCENE=fog HIKARI_STOCH_TRILERP=0 python -u bench.py
+# per-depth marginal cost decomposition (10 compiles — keep it last)
+run prof_step python -u tools/prof_step.py
 echo "all logs in $OUT"
