@@ -249,15 +249,23 @@ def main():
     # so the driver always records a number
     spread = (0.0, 0.0)
     spp_sec = 0.0
+    fallback = False
+    res_ran = res
     for res_try, it_try in ((res, iters), (res // 2, max(iters // 2, 2)),
                             (256, 2)):
         try:
             mrays, spread, spp_sec = run(res_try, it_try)
+            res_ran = res_try
+            fallback = res_try != res
             break
         except Exception as e:  # pragma: no cover - device-fault path
             print(f"bench config {res_try}px failed: {type(e).__name__}: {e}",
                   flush=True)
             mrays = 0.0
+    # record the effective kernel configuration so every number in
+    # BENCH_r*.json is unambiguous about what ran (VERDICT r2 item 3)
+    from hikari_tpu.geometry import wavefront as _wf
+
     print(
         json.dumps(
             {
@@ -270,6 +278,13 @@ def main():
                 # BASELINE.md's second metric: projected wall-clock to
                 # 256 spp at the benched resolution
                 "wallclock_256spp_s": round(256.0 * spp_sec, 1),
+                "res": res_ran,
+                "scene": os.environ.get("BENCH_SCENE", "default"),
+                "resident": os.environ.get("HIKARI_RESIDENT", "auto"),
+                "treelet": _wf.TREELET,
+                "ray_tile": _wf.RAY_TILE,
+                "band_frac": _wf.BAND_FRAC,
+                "fallback": fallback,
             }
         )
     )

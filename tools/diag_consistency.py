@@ -29,8 +29,15 @@ from hikari_tpu.geometry import wavefront as wf  # noqa: E402
 from tools.check_tpu_consistency import random_tris  # noqa: E402
 
 
-def exact_margins(o, d, t_max, p0, p1, p2):
-    """float64 Moller-Trumbore over all tris; per-triangle boundary margin."""
+def exact_margins(o, d, t_max, p0, p1, p2, scene_diag=1.0):
+    """float64 Moller-Trumbore over all tris; per-triangle boundary margin.
+
+    For distance-capped rays the margin includes the distance to both t
+    boundaries normalized by t_max. For unbounded rays (t_max = inf) there
+    is no far boundary; using tm=1e30 would collapse t/tm to ~1e-30 for
+    every triangle and make all margins read as borderline (ADVICE r2), so
+    positivity is normalized by the scene diameter instead.
+    """
     o = o.astype(np.float64)
     d = d.astype(np.float64)
     e1 = (p1 - p0).astype(np.float64)
@@ -52,10 +59,14 @@ def exact_margins(o, d, t_max, p0, p1, p2):
     v = (d11 * d20 - d01 * d21) / dd
     w = (d00 * d21 - d01 * d20) / dd
     u = 1.0 - v - w
-    tm = np.minimum(t_max, 1e30)
     # signed margins: positive inside the accept region
-    m = np.minimum.reduce([u, v, w, t / max(tm, 1e-30),
-                           (tm - t) / max(tm, 1e-30)])
+    terms = [u, v, w]
+    if np.isfinite(t_max):
+        tm = max(float(t_max), 1e-30)
+        terms += [t / tm, (tm - t) / tm]
+    else:
+        terms.append(t / max(scene_diag, 1e-30))
+    m = np.minimum.reduce(terms)
     return t, m
 
 
@@ -87,10 +98,14 @@ def main():
     got = wf.closest_hit_packets(*args, interpret=False, active=actj)
     got = jax.tree.map(np.asarray, got)
 
+    verts = np.concatenate([p0, p1, p2], 0)
+    scene_diag = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+
     bad = np.where((ref.hit != got.hit) & act)[0]
     print(f"{len(bad)} hit-flip lanes")
     for i in bad:
-        _, m = exact_margins(o[i], d[i], float(t_max[i]), p0, p1, p2)
+        _, m = exact_margins(o[i], d[i], float(t_max[i]), p0, p1, p2,
+                             scene_diag)
         # the closest margin among triangles that are anywhere near accepting
         near = m > -1e-2
         best = m[near].max() if near.any() else m.max()
