@@ -120,9 +120,23 @@ def run(res_px: int, n_iters: int):
     px = lanes % w
     py = lanes // w
 
+    # BENCH_SAMP_BATCH=K dispatches K samples of the whole frame as ONE
+    # wavefront of K*w*h lanes: per-op fixed overhead on (8, 128, T) blocks
+    # amortizes over more live work (PERF.md round-1 treelet sweep), at the
+    # cost of K x the path-state memory.
+    ksamp = int(os.environ.get("BENCH_SAMP_BATCH", "1"))
+    if ksamp > 1:
+        px = jnp.tile(px, ksamp)
+        py = jnp.tile(py, ksamp)
+
     @jax.jit
     def step(sample_idx):
-        rgb, wgt, stats = render_lanes(vp, scene, camera, filt, sample_idx, px, py)
+        si = sample_idx
+        if ksamp > 1:
+            si = sample_idx * ksamp + jnp.repeat(
+                jnp.arange(ksamp, dtype=jnp.uint32), w * h
+            )
+        rgb, wgt, stats = render_lanes(vp, scene, camera, filt, si, px, py)
         return rgb.sum(), stats["rays_traced"]
 
     # warmup / compile; the one-scalar np.asarray sync is the only honest
@@ -142,7 +156,7 @@ def run(res_px: int, n_iters: int):
         total_rays = float(np.asarray(rays))  # syncs the whole chain
         float(np.asarray(acc))
         dt = time.perf_counter() - t0
-        return total_rays / dt / 1e6, dt / n_iters
+        return total_rays / dt / 1e6, dt / (n_iters * ksamp)
 
     # median of 3 repetitions: the tunnel/TPU showed 3x run-to-run swings
     # (4.87 vs 2.33 vs 1.51 Mray/s on identical code); median-of-N plus the
@@ -280,10 +294,14 @@ def main():
                 "wallclock_256spp_s": round(256.0 * spp_sec, 1),
                 "res": res_ran,
                 "scene": os.environ.get("BENCH_SCENE", "default"),
-                "resident": os.environ.get("HIKARI_RESIDENT", "auto"),
+                # effective value: 'auto' resolves off since the r3 A/B
+                "resident": ("on" if os.environ.get(
+                    "HIKARI_RESIDENT", "auto") == "on" else "off"),
+                "compact": os.environ.get("HIKARI_COMPACT", "auto"),
                 "treelet": _wf.TREELET,
                 "ray_tile": _wf.RAY_TILE,
                 "band_frac": _wf.BAND_FRAC,
+                "samp_batch": int(os.environ.get("BENCH_SAMP_BATCH", "1")),
                 "fallback": fallback,
             }
         )

@@ -49,7 +49,7 @@ from .textures.atlas import ImageTexture, VertexColorTexture
 # lights
 from .lights.types import (
     AmbientLight, DistantLight, EnvironmentLight, PointLight, SpotLight,
-    SunLight,
+    SunLight, equirect_to_equal_area,
 )
 from .lights.sunsky import sunsky_environment
 

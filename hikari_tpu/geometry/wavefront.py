@@ -92,6 +92,10 @@ COL_MASK = (1 << COL_BITS) - 1
 # diagonal (0 disables); see closest_hit_packets(band=...). Off by default
 # until measured on hardware — correctness is test-pinned either way.
 BAND_FRAC = float(_os.environ.get("HIKARI_BAND_FRAC", "0.0"))
+# live-lane compaction cascade default (closest/anyhit `compact=None`):
+# on when compiled, off in interpret mode; HIKARI_COMPACT=off disables for
+# hardware A/Bs of the cascade's cond/branch overhead.
+COMPACT_DEFAULT = _os.environ.get("HIKARI_COMPACT", "auto")
 
 
 def _split3_cols(m: np.ndarray) -> np.ndarray:
@@ -702,7 +706,7 @@ def closest_hit_packets(
     order (tiles are just whatever 1024-lane groups arrive), only packet
     coherence does."""
     if compact is None:
-        compact = not interpret
+        compact = (not interpret) and COMPACT_DEFAULT != "off"
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37)
     t_max = _world_exit_clamp(o, d, t_max, world_lo, world_hi)
     if active is not None:
@@ -805,7 +809,7 @@ def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
 
     compact: live-lane static-prefix cascade, as in closest_hit_packets."""
     if compact is None:
-        compact = not interpret
+        compact = (not interpret) and COMPACT_DEFAULT != "off"
     t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37) * 0.9999
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)

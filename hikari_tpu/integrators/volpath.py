@@ -150,6 +150,11 @@ class VolPath:
     material_coherence: str = "none"  # 'none' | 'gated'
     resident: str = "auto"  # 'on' | 'off' | 'auto'
     resident_levels: int = 0  # 0 = auto
+    # nee=False disables next-event estimation: light arrives only via
+    # BSDF/phase sampling, with emitter/env hits unweighted (MIS denom =
+    # r_u alone). Delta lights become invisible. Used by estimator-
+    # agreement tests (NEE-on vs BSDF-only must converge to the same image).
+    nee: bool = True
 
 
 # --- material dispatch helpers ------------------------------------------------
@@ -888,9 +893,12 @@ def render_lanes(
     # resident mode: the bounce body runs on a live-compacted sorted prefix
     # (see VolPath.resident); the traversal engines then skip their own
     # internal prefix cascade (compact=False)
-    use_resident = vp.resident == "on" or (
-        vp.resident == "auto" and scene.traversal != "skiplink"
-    )
+    # resident 'auto' resolves OFF: the hardware A/B (r3 phase 1, one v5e,
+    # 800x800 bench) measured resident=on at 1.476 Mray/s vs off at 2.651 —
+    # the one-permutation-per-bounce thesis loses to the engines' internal
+    # sort until the bounce-body fixed costs shrink. Request 'on' explicitly
+    # to re-test.
+    use_resident = vp.resident == "on"
     trav_compact = False if use_resident else None
 
     def bounce_core(depth, st, rays_traced):
@@ -955,7 +963,8 @@ def render_lanes(
                 pmf_env = scene.lights.pmf[scene.lights.n_flat - 1]
             r_l_hat = r_l * (pdf_env * pmf_env)[..., None]
             denom = jnp.where(
-                specular, jnp.mean(r_u, -1), jnp.mean(r_u + r_l_hat, -1)
+                specular | (not vp.nee), jnp.mean(r_u, -1),
+                jnp.mean(r_u + r_l_hat, -1),
             )
             contrib = beta * le_env / jnp.maximum(denom[..., None], 1e-12)
             L = L + jnp.where((escaped & (denom > 0.0))[..., None], contrib, 0.0)
@@ -997,14 +1006,15 @@ def render_lanes(
             ) * pmf_area
             r_l_hat = r_l * pdf_light[..., None]
             denom = jnp.where(
-                specular, jnp.mean(r_u, -1), jnp.mean(r_u + r_l_hat, -1)
+                specular | (not vp.nee), jnp.mean(r_u, -1),
+                jnp.mean(r_u + r_l_hat, -1),
             )
             contrib = beta * le / jnp.maximum(denom[..., None], 1e-12)
             L = L + jnp.where((is_emitter & (denom > 0.0))[..., None], contrib, 0.0)
 
         # --- NEE from surfaces and medium-scatter points
         # (surface_direct_lighting_inner! + medium_direct_lighting_inner!)
-        if n_lights > 0:
+        if n_lights > 0 and vp.nee:
             nee_surface = hit & ~is_interface
             nee_any = nee_surface | scattered
             ul = sb.path_sample_1d(zcfg, px, py, si, depth, 0)

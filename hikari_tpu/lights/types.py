@@ -93,6 +93,75 @@ class EnvironmentLight:
     rotation: tuple = None  # optional 3x3 world rotation
 
 
+def equirect_to_equal_area(img, resolution: int | None = None, up: str = "y"):
+    """Host-side lat-long (equirectangular) -> equal-area octahedral resample.
+
+    Real HDRI assets are almost always lat-long; the reference reads them
+    and samples with direction_to_uv_equirect
+    (/root/reference/src/textures/environment_map.jl:230-266, load at :379).
+    Here the conversion happens once at import time: every equal-area texel
+    center maps to a direction, which bilinearly samples the lat-long
+    source. Feed the result to `EnvironmentLight(image=...)`.
+
+    img: (H, W, 3) linear RGB lat-long image. Row 0 is the top pole (+up
+        axis); u wraps longitude with phi = atan2 about the up axis
+        (u = (phi + pi) / 2pi, matching the reference's convention).
+    resolution: output square size; defaults to H (so the vertical
+        resolution is preserved).
+    up: world axis of the image's vertical pole: 'y' (standard HDRI) or
+        'z' (matches the repo's sunsky bake).
+    """
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    res = int(resolution or h)
+    uu, vv = np.meshgrid(
+        (np.arange(res) + 0.5) / res, (np.arange(res) + 0.5) / res
+    )
+    d = _equal_area_square_to_sphere_np(uu, vv)  # (res, res, 3)
+    if up == "y":
+        pole, az_y, az_x = d[..., 1], d[..., 2], d[..., 0]
+    elif up == "z":
+        pole, az_y, az_x = d[..., 2], d[..., 1], d[..., 0]
+    else:
+        raise ValueError(f"up must be 'y' or 'z', got {up!r}")
+    theta = np.arccos(np.clip(pole, -1.0, 1.0))
+    phi = np.arctan2(az_y, az_x)
+    su = np.mod((phi + np.pi) / (2.0 * np.pi), 1.0) * w - 0.5
+    sv = (theta / np.pi) * h - 0.5
+    x0 = np.floor(su).astype(np.int64)
+    y0 = np.floor(sv).astype(np.int64)
+    fx = (su - x0)[..., None]
+    fy = (sv - y0)[..., None]
+    x1 = (x0 + 1) % w
+    x0 = x0 % w                      # longitude wraps
+    y1 = np.clip(y0 + 1, 0, h - 1)   # latitude clamps at the poles
+    y0 = np.clip(y0, 0, h - 1)
+    out = (
+        img[y0, x0] * (1 - fx) * (1 - fy)
+        + img[y0, x1] * fx * (1 - fy)
+        + img[y1, x0] * (1 - fx) * fy
+        + img[y1, x1] * fx * fy
+    )
+    return out.astype(np.float32)
+
+
+def _equal_area_square_to_sphere_np(u, v):
+    """numpy twin of equal_area_square_to_sphere for host-side baking."""
+    up = np.abs(2 * u - 1)
+    vp = np.abs(2 * v - 1)
+    sd = 1.0 - (up + vp)
+    dist = np.abs(sd)
+    r = 1.0 - dist
+    phi = np.where(r == 0.0, 1.0, (vp - up) / np.where(r == 0.0, 1.0, r) + 1.0) * (
+        np.pi / 4.0
+    )
+    z = np.copysign(1.0 - r * r, sd)
+    cos_phi = np.copysign(np.cos(phi), 2 * u - 1)
+    sin_phi = np.copysign(np.sin(phi), 2 * v - 1)
+    s = r * np.sqrt(np.maximum(2.0 - r * r, 0.0))
+    return np.stack([cos_phi * s, sin_phi * s, z], -1)
+
+
 # --- equal-area octahedral mapping (environment_map.jl:71-210) ----------------
 
 

@@ -494,12 +494,18 @@ def layered_f(
     smooth_top = effectively_smooth(top_ax, top_ay)
 
     # exit channel: sample a transmitted direction from the wi side; by
-    # reciprocity its weight applies to the exit crossing
+    # reciprocity its weight applies to the exit crossing. For a SMOOTH top
+    # this is pbrt's `wis` (LayeredBxDF::f samples the specular exit
+    # interface's deterministic refraction with its Fresnel weight) — the
+    # bottom-vertex connection through it makes f nonzero for smooth coats;
+    # only the pure delta mirror lobe stays out of NEE. Dropping these
+    # connections (round-2 behavior) lost ~4x energy on coated surfaces
+    # under NEE (tests/test_furnace.py::test_coated_diffuse_nee_vs_bsdf_only).
     rng = _rng_init(u2, uc + 0.5)
     rng, ue2 = _rng_next2(rng)
     rng, uec = _rng_next(rng)
     s_exit = dielectric_interface_sample(wi_l, top_eta, top_ax, top_ay, ue2, uec)
-    exit_ok = s_exit["valid"] & s_exit["is_trans"] & ~smooth_top
+    exit_ok = s_exit["valid"] & s_exit["is_trans"]
     w_exit_in = s_exit["wi"]      # direction pointing down inside the slab
     exit_w = s_exit["weight"]
 

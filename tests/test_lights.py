@@ -92,3 +92,58 @@ def test_power_vs_uniform_unbiased():
     # same estimator target; different variance. Means agree to a few %.
     m_p, m_u = img_pow.mean(), img_uni.mean()
     assert abs(m_p - m_u) / max(m_u, 1e-9) < 0.05, (m_p, m_u)
+
+
+def test_equirect_to_equal_area_roundtrip():
+    """Lat-long import: directions fetched from the converted equal-area map
+    must return the lat-long image's value at that direction
+    (environment_map.jl:230-266,379)."""
+    from hikari_tpu.lights.types import (
+        equal_area_sphere_to_square, equirect_to_equal_area,
+    )
+
+    h, w = 128, 256
+    th = (np.arange(h) + 0.5) / h * np.pi
+    ph = (np.arange(w) + 0.5) / w * 2.0 * np.pi - np.pi
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    # y-up lat-long direction per texel; encode rgb = (d + 1) / 2
+    d = np.stack(
+        [np.sin(tt) * np.cos(pp), np.cos(tt), np.sin(tt) * np.sin(pp)], -1
+    )
+    img = ((d + 1.0) * 0.5).astype(np.float32)
+
+    ea = equirect_to_equal_area(img, resolution=256, up="y")
+    assert ea.shape == (256, 256, 3)
+    assert np.all(np.isfinite(ea))
+
+    rng = np.random.RandomState(7)
+    dirs = rng.randn(500, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    uv = np.asarray(equal_area_sphere_to_square(jnp.asarray(dirs)))
+    xi = np.clip((uv[:, 0] * 256).astype(int), 0, 255)
+    yi = np.clip((uv[:, 1] * 256).astype(int), 0, 255)
+    got = ea[yi, xi]
+    want = (dirs + 1.0) * 0.5
+    # nearest-texel fetch of a smooth function: tolerance ~ texel size
+    err = np.abs(got - want).max()
+    assert err < 0.04, err
+
+
+def test_equirect_mean_energy_preserved():
+    """Equal-area texels have uniform solid angle, so the converted map's
+    mean must match the lat-long image's sin(theta)-weighted mean."""
+    from hikari_tpu.lights.types import equirect_to_equal_area
+
+    rng = np.random.RandomState(3)
+    h, w = 64, 128
+    img = rng.rand(h, w, 3).astype(np.float32)
+    # smooth it so bilinear resampling error stays small
+    for _ in range(12):
+        img = 0.5 * img + 0.25 * np.roll(img, 1, 1) + 0.25 * np.roll(img, -1, 1)
+        img = 0.5 * img + 0.25 * np.concatenate([img[:1], img[:-1]], 0) \
+            + 0.25 * np.concatenate([img[1:], img[-1:]], 0)
+    ea = equirect_to_equal_area(img, resolution=128)
+    sin_w = np.sin((np.arange(h) + 0.5) / h * np.pi)[:, None, None]
+    want = (img * sin_w).sum((0, 1)) / (sin_w.sum() * w)
+    got = ea.mean((0, 1))
+    assert np.abs(got - want).max() < 0.01, (got, want)
