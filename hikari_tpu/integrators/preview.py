@@ -8,9 +8,14 @@ wavefront pipelines sharing the VolPath building blocks — on TPU a
 "megakernel per tile" and a "kernel per queue" both lower to the same
 fused XLA program over the full frame.
 
-These are RGB-approximate preview paths (albedo-weighted direct light,
-mirror reflections); the spectral VolPath remains the reference-quality
-integrator.
+Whitted shades through the REAL spectral BSDF stack at four fixed hero
+wavelengths (the reference Whitted shades through its RGB UberBxDF system,
+material.jl:22-180 + sampler.jl:17-118 — same physics, different color
+basis): NEE evaluates the material's f, specular recursion follows
+sampled BSDF lobes, and the carried throughput is spectral, converted to
+display RGB once per path. FastWavefront keeps the cheap albedo-weighted
+path (the reference extracts FastMaterialProps{base_color, metallic,
+roughness} rather than building BSDFs, fast-wavefront.jl:106-121).
 """
 
 from __future__ import annotations
@@ -23,13 +28,22 @@ import jax.numpy as jnp
 
 from ..camera.camera import CameraSample, PerspectiveCamera
 from ..core.ray import spawn_ray
-from ..core.vecmath import dot, normalize, reflect, refract
+from ..core.vecmath import dot, make_frame, reflect, refract, to_local, to_world
 from ..film.film import Film, film_add_sample, make_film
 from ..lights import types as lt
+from ..materials import bsdf as mb
 from ..materials import types as mt
 from ..sampling import sobol as sb
 from ..scene.scene import SceneData
-from .volpath import _albedo_rgb_dispatch, _surface_data, scene_any_hit, scene_closest_hit
+from ..spectral.cie import spectral_to_xyz, xyz_to_linear_srgb
+from .volpath import (
+    _albedo_rgb_dispatch, _eval_bsdf_dispatch, _sample_bsdf_dispatch,
+    _surface_data, scene_any_hit, scene_closest_hit,
+)
+
+# fixed hero wavelengths for preview shading; uniform pdf over [360, 830]
+_PREVIEW_LAM = (470.0, 540.0, 600.0, 660.0)
+_PREVIEW_PDF = 1.0 / 471.0
 
 
 def _direct_light_rgb(scene: SceneData, p, ns, albedo, u2, active):
@@ -38,8 +52,6 @@ def _direct_light_rgb(scene: SceneData, p, ns, albedo, u2, active):
     Fixed hero wavelengths; the spectral light sample is converted to
     display RGB through the same CIE pipeline as VolPath so magnitudes
     match the reference integrator."""
-    from ..spectral.cie import spectral_to_xyz, xyz_to_linear_srgb
-
     n = p.shape[0]
     if scene.n_lights == 0:
         return jnp.zeros((n, 3))
@@ -47,8 +59,8 @@ def _direct_light_rgb(scene: SceneData, p, ns, albedo, u2, active):
     li_flat, pmf = lt.sample_light_index(scene.lights, ul)
     ltype = scene.lights.light_type[li_flat]
     lidx = scene.lights.light_idx[li_flat]
-    lam4 = jnp.tile(jnp.asarray([[470.0, 540.0, 600.0, 660.0]], jnp.float32), (n, 1))
-    pdf4 = jnp.full((n, 4), 1.0 / 471.0)  # uniform over [360, 830]
+    lam4 = jnp.tile(jnp.asarray([list(_PREVIEW_LAM)], jnp.float32), (n, 1))
+    pdf4 = jnp.full((n, 4), _PREVIEW_PDF)
     ls = lt.sample_li(
         scene.lights, scene.rgb2spec, ltype, lidx, p, lam4, u2,
         scene.scene_radius,
@@ -63,6 +75,36 @@ def _direct_light_rgb(scene: SceneData, p, ns, albedo, u2, active):
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
+def _direct_light_bsdf(scene: SceneData, sd, wo, u2, u2e, uce, active):
+    """Direct lighting through the real BSDF f at the preview wavelengths
+    (reference shade_lights, material.jl:130-180). Returns spectral (n, 4)."""
+    n = wo.shape[0]
+    lam4 = jnp.tile(jnp.asarray([list(_PREVIEW_LAM)], jnp.float32), (n, 1))
+    if scene.n_lights == 0:
+        return jnp.zeros_like(lam4)
+    ul = u2[..., 0]
+    li_flat, pmf = lt.sample_light_index(scene.lights, ul)
+    ltype = scene.lights.light_type[li_flat]
+    lidx = scene.lights.light_idx[li_flat]
+    ls = lt.sample_li(
+        scene.lights, scene.rgb2spec, ltype, lidx, sd["p"], lam4, u2,
+        scene.scene_radius,
+    )
+    t, b, nrm = make_frame(sd["ns"])
+    wo_l = to_local(t, b, nrm, wo)
+    wi_l = to_local(t, b, nrm, ls.wi)
+    f, _ = _eval_bsdf_dispatch(
+        scene, sd["mat_type"], sd["mat_idx"], wo_l, wi_l, lam4, None,
+        sd["tex"], u2e, uce,
+    )
+    cos_i = jnp.abs(wi_l[..., 2])
+    o_sh = spawn_ray(sd["p"], sd["ng"], ls.wi)
+    ok = active & ls.valid & jnp.any(f > 0.0, -1)
+    occluded = scene_any_hit(scene, o_sh, ls.wi, ls.t_max, active=ok)
+    contrib = f * ls.li * (cos_i / jnp.maximum(ls.pdf * pmf, 1e-9))[..., None]
+    return jnp.where((ok & ~occluded)[..., None], contrib, 0.0)
+
+
 @dataclass(frozen=True)
 class FastWavefront:
     """Interactive preview: primary hit, hard-shadow direct light, one
@@ -75,7 +117,8 @@ class FastWavefront:
 @dataclass(frozen=True)
 class Whitted:
     """Direct lighting + specular bounce recursion to max_depth
-    (sampler.jl:4-118). No diffuse indirect."""
+    (sampler.jl:4-118), shading through the spectral BSDF stack at fixed
+    preview wavelengths. No diffuse indirect."""
 
     max_depth: int = 5
     samples_per_pixel: int = 4
@@ -88,7 +131,84 @@ def _is_specular_type(mat_type):
     )
 
 
+def _whitted_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
+    """Whitted through the real BSDF stack: spectral throughput at fixed
+    hero wavelengths, NEE via _eval_bsdf_dispatch, specular recursion via
+    _sample_bsdf_dispatch lobes (sampler.jl li_iterative +
+    material.jl specular_bounce)."""
+    w, h = camera.resolution
+    n = w * h
+    lanes = jnp.arange(n, dtype=jnp.uint32)
+    px = lanes % w
+    py = lanes // w
+    si = jnp.broadcast_to(sample_idx, (n,))
+    zcfg = sb.make_zsobol(w, h, max(spp, 1), seed=seed)
+    ps = sb.compute_pixel_sample(zcfg, px, py, si)
+    p_film = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)], -1) + \
+        0.5 + (ps.jitter - 0.5)
+    o, d = camera.generate_rays(
+        CameraSample(p_film=p_film, lens=ps.lens, time=ps.time,
+                     filter_weight=jnp.ones((n,)))
+    )
+
+    lam4 = jnp.tile(jnp.asarray([list(_PREVIEW_LAM)], jnp.float32), (n, 1))
+    pdf4 = jnp.full((n, 4), _PREVIEW_PDF)
+    L4 = jnp.zeros((n, 4))
+    beta4 = jnp.ones((n, 4))
+    alive = jnp.ones((n,), bool)
+
+    for depth in range(n_bounces):
+        t_max = jnp.full((n,), jnp.inf)
+        rec = scene_closest_hit(scene, o, d, t_max, active=alive)
+        hit = alive & rec.hit
+        sd = _surface_data(scene, rec, o, d)
+        wo = -d
+        # two-sided shading like VolPath: face the shading normal to the viewer
+        flip = dot(sd["ns"], d) > 0.0
+        sd["ns"] = jnp.where(flip[..., None], -sd["ns"], sd["ns"])
+        sd["ng"] = jnp.where(flip[..., None], -sd["ng"], sd["ng"])
+
+        # emissive surfaces: real emitted radiance (area-light Le)
+        is_emit = hit & (sd["mat_type"] == mt.EMISSIVE)
+        cos_wo = dot(sd["ng"], wo)
+        le = mb.emitted_radiance(
+            scene.materials, jnp.maximum(sd["mat_idx"], 0), scene.rgb2spec,
+            lam4, cos_wo, sd["tex"],
+        )
+        L4 = L4 + jnp.where(is_emit[..., None], beta4 * le, 0.0)
+
+        # NEE through the real BSDF f (zero for pure-specular lobes)
+        shade = hit & ~is_emit & (sd["mat_type"] != mt.INTERFACE)
+        u2 = jnp.stack(sb.path_sample_2d(zcfg, px, py, si, depth, 0), -1)
+        u2e = jnp.stack(sb.path_sample_2d(zcfg, px, py, si, depth, 7), -1)
+        uce = sb.path_sample_1d(zcfg, px, py, si, depth, 9)
+        L4 = L4 + beta4 * _direct_light_bsdf(scene, sd, wo, u2, u2e, uce, shade)
+
+        # specular recursion: sample the BSDF, continue only on delta lobes
+        # (Whitted semantics — glossy/diffuse paths stop at direct light)
+        t, b, nrm = make_frame(sd["ns"])
+        wo_l = to_local(t, b, nrm, wo)
+        ub = jnp.stack(sb.path_sample_2d(zcfg, px, py, si, depth, 3), -1)
+        uc = sb.path_sample_1d(zcfg, px, py, si, depth, 5)
+        bs = _sample_bsdf_dispatch(
+            scene, sd["mat_type"], sd["mat_idx"], wo_l, lam4, ub, uc, None,
+            sd["tex"],
+        )
+        wi = to_world(t, b, nrm, bs.wi)
+        thr = bs.f * (jnp.abs(bs.wi[..., 2]) /
+                      jnp.maximum(bs.pdf, 1e-9))[..., None]
+        cont = shade & bs.valid & bs.specular & jnp.any(thr > 0.0, -1)
+        o = jnp.where(cont[..., None], spawn_ray(sd["p"], sd["ng"], wi), o)
+        d = jnp.where(cont[..., None], wi, d)
+        beta4 = jnp.where(cont[..., None], beta4 * thr, beta4)
+        alive = cont
+
+    return xyz_to_linear_srgb(spectral_to_xyz(L4, lam4, pdf4))
+
+
 def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
+    """FastWavefront: albedo-weighted direct light + Fresnel-split mirror
+    bounces (the reference's FastMaterialProps approximation)."""
     w, h = camera.resolution
     n = w * h
     lanes = jnp.arange(n, dtype=jnp.uint32)
@@ -123,8 +243,7 @@ def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         rgb = rgb + jnp.where(is_emit[..., None], tint * albedo * 5.0, 0.0)
 
         # smooth conductors join the specular set with Fresnel-tinted
-        # mirror bounces (reference Whitted shades through the full RGB
-        # BSDF system incl. conductor Fresnel, material.jl:22-180)
+        # mirror bounces
         b = scene.materials
         idx = jnp.maximum(sd["mat_idx"], 0)
         is_cond = sd["mat_type"] == mt.CONDUCTOR
@@ -139,8 +258,7 @@ def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         direct = _direct_light_rgb(scene, sd["p"], sd["ns"], albedo, u2, diffuse_hit)
         rgb = rgb + tint * direct
 
-        # specular continuation with real Fresnel physics
-        # (material.jl specular_bounce: reflection vs refraction split)
+        # specular continuation with one-sample Fresnel branch selection
         from ..materials.fresnel import fresnel_dielectric
 
         wo = -d
@@ -156,9 +274,6 @@ def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         ok_t, wt = refract(wo, sd["ns"], eta_rel)
         u_spec = sb.path_sample_1d(
             zcfg, px, py, jnp.broadcast_to(sample_idx, (n,)), depth, 2)
-        # one-sample Fresnel-weighted branch selection keeps the wavefront
-        # dense (the reference's recursion follows both branches; picking
-        # with probability F has the same expectation)
         choose_refl = (u_spec < F) | (~ok_t & ~is_thin)
         refl_only = (sd["mat_type"] == mt.MIRROR) | cond_smooth
         choose_refl = choose_refl | refl_only
@@ -167,8 +282,6 @@ def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         wi_t = jnp.where(is_thin[..., None], d, wt)  # thin: passes straight
         wi = jnp.where(choose_refl[..., None], wi_r, wi_t)
 
-        # per-branch tint: mirror/conductor albedo (conductor gets a
-        # Schlick-Fresnel curve on its normal-incidence color), glass kr/kt
         schlick = albedo + (1.0 - albedo) * ((1.0 - ci) ** 5)[..., None]
         tint_refl = jnp.where(
             cond_smooth[..., None], schlick,
@@ -189,11 +302,16 @@ def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
 def _preview_step(integ, scene, camera, film, sample_idx):
-    n_bounces = 2 if isinstance(integ, FastWavefront) else integ.max_depth
-    rgb = _preview_lanes(
-        scene, camera, jnp.uint32(sample_idx), integ.samples_per_pixel,
-        integ.seed, n_bounces,
-    )
+    if isinstance(integ, FastWavefront):
+        rgb = _preview_lanes(
+            scene, camera, jnp.uint32(sample_idx), integ.samples_per_pixel,
+            integ.seed, 2,
+        )
+    else:
+        rgb = _whitted_lanes(
+            scene, camera, jnp.uint32(sample_idx), integ.samples_per_pixel,
+            integ.seed, integ.max_depth,
+        )
     w, h = camera.resolution
     img = rgb.reshape(h, w, 3)
     return film_add_sample(film, img, jnp.ones((h, w)))

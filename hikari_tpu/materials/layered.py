@@ -522,6 +522,21 @@ def layered_f(
         f=jnp.zeros_like(lam),
     )
 
+    # radiance-mode entry crossing compresses radiance by 1/eta^2 (pbrt
+    # SpecularTransmission in Radiance mode; wo_l is canonicalized to the
+    # upper hemisphere so the entry is always outside -> inside at top_eta).
+    # The walk's SAMPLING path re-exits through the top, where the inverse
+    # crossing multiplies eta^2 back — hence weight=1 there — but the NEE
+    # connection exits through the importance-mode exit channel (pbrt's
+    # `wis`, sampled with ~mode: no eta factor), so eval must carry the
+    # 1/eta^2 explicitly. Composition check: smooth top, thickness 0 gives
+    # f = T(wo) T(wi) (R/pi) / eta^2, matching pbrt's
+    # beta * fb * |cos wis| * Tr * wis.f/wis.pdf with wis.f = T/(|cos| eta^2)
+    # ... eta^2 on the wi side absent in importance mode. The previous code
+    # multiplied by |cos wis| and skipped 1/eta^2 — ~2x hot (caught by
+    # tests/test_furnace.py + the eval-vs-sampled-albedo integral).
+    inv_eta2 = 1.0 / jnp.maximum(top_eta * top_eta, 1e-6)
+
     def step(_, st):
         rng, w, beta, crossed = _slab_transit(
             st["rng"], st["w"], thick, albedo4, g, st["beta"]
@@ -536,10 +551,7 @@ def layered_f(
         tau_up = thick / jnp.maximum(jnp.abs(w_exit_in[..., 2]), 1e-6)
         tr_up = jnp.exp(-tau_up)
         fb = bottom_f(w, -w_exit_in)
-        contrib = (
-            beta * fb * jnp.abs(w_exit_in[..., 2])[..., None]
-            * (tr_up * exit_w)[..., None]
-        )
+        contrib = beta * fb * (tr_up * exit_w * inv_eta2)[..., None]
         f_acc = st["f"] + jnp.where(
             (hit_bottom & exit_ok & same)[..., None], contrib, 0.0
         )
@@ -576,7 +588,11 @@ def layered_f(
         alive = alive & jnp.any(beta > 1e-9, -1)
         return dict(rng=rng, w=w, beta=beta, alive=alive, f=f_acc)
 
-    state = jax.lax.fori_loop(0, MAX_WALK // 2, step, state)
+    # full MAX_WALK budget: one interface event per iteration means only
+    # every other step connects, and the internal-TIR interreflection
+    # series (ratio ~0.45 at eta 1.5) needs ~5 connections to converge —
+    # MAX_WALK//2 truncated ~15% of the white-base energy
+    state = jax.lax.fori_loop(0, MAX_WALK, step, state)
     valid_q = same | bottom_exits
     f_sum = f_sum + jnp.where(same[..., None], state["f"], 0.0)
     if bottom_exits:
