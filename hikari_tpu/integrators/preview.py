@@ -41,9 +41,63 @@ from .volpath import (
     _surface_data, scene_any_hit, scene_closest_hit,
 )
 
-# fixed hero wavelengths for preview shading; uniform pdf over [360, 830]
+# fixed hero wavelengths for preview shading
 _PREVIEW_LAM = (470.0, 540.0, 600.0, 660.0)
-_PREVIEW_PDF = 1.0 / 471.0
+
+
+def _preview_spec_to_rgb(L4):
+    """Convert preview-wavelength spectral radiance (n, 4) to linear sRGB.
+
+    A naive spectral_to_xyz at the four fixed lambdas with uniform pdf
+    reads ~2x hot (the points sit on CMF-heavy wavelengths: white
+    (25,25,25) round-tripped to ~(51,48,37) while VolPath's averaged hero
+    sampling converges to 25). Instead, a 3x4 linear map is solved ONCE so
+    each sRGB-primary ILLUMINANT uplift evaluated at the preview lambdas
+    maps exactly to its converged XYZ (rank-3 exact fit; smooth spectra in
+    between interpolate at preview-grade accuracy), then XYZ -> sRGB."""
+    return jnp.einsum("...j,ij->...i", L4, _preview_rgb_m())
+
+
+def _preview_rgb_m():
+    global _PREVIEW_RGB_M
+    if _PREVIEW_RGB_M is not None:
+        return _PREVIEW_RGB_M
+    import numpy as np
+
+    # first call may happen inside a jit trace; the fit must run eagerly
+    import jax as _jax
+    with _jax.ensure_compile_time_eval():
+        _PREVIEW_RGB_M = _fit_preview_rgb_m(np)
+    return _PREVIEW_RGB_M
+
+
+def _fit_preview_rgb_m(np):
+
+    from ..lights.types import _illum
+    from ..spectral.cie import _SRGB_FROM_XYZ, sample_cie_xyz
+    from ..spectral.rgb2spec import srgb_table
+
+    table = srgb_table()
+    lam_g = jnp.linspace(360.0, 830.0, 471)[None, :]
+    cmf_g = np.asarray(sample_cie_xyz(lam_g))[0]          # (471, 3)
+    lam4 = jnp.asarray([list(_PREVIEW_LAM)], jnp.float32)
+    # the rgb2spec illuminant uplift is NONLINEAR in rgb, so the map is
+    # least-squares fit over a broad sample of illuminant colors (white
+    # upweighted: neutral lights dominate real scenes)
+    rng = np.random.RandomState(0)
+    rgbs = np.concatenate([
+        np.ones((8, 3), np.float32),                      # white x8 weight
+        np.eye(3, dtype=np.float32),
+        rng.rand(96, 3).astype(np.float32) * 0.95 + 0.05,
+    ])
+    spec_g = np.asarray(_illum(table, jnp.asarray(rgbs), lam_g))   # (N, 471)
+    spec4 = np.asarray(_illum(table, jnp.asarray(rgbs), lam4))     # (N, 4)
+    targets = spec_g @ cmf_g                               # (N, 3) true XYZ
+    m_xyz, *_ = np.linalg.lstsq(spec4, targets, rcond=None)  # (4, 3)
+    return jnp.asarray(np.asarray(_SRGB_FROM_XYZ) @ m_xyz.T, jnp.float32)
+
+
+_PREVIEW_RGB_M = None
 
 
 def _direct_light_rgb(scene: SceneData, p, ns, albedo, u2, active):
@@ -60,7 +114,6 @@ def _direct_light_rgb(scene: SceneData, p, ns, albedo, u2, active):
     ltype = scene.lights.light_type[li_flat]
     lidx = scene.lights.light_idx[li_flat]
     lam4 = jnp.tile(jnp.asarray([list(_PREVIEW_LAM)], jnp.float32), (n, 1))
-    pdf4 = jnp.full((n, 4), _PREVIEW_PDF)
     ls = lt.sample_li(
         scene.lights, scene.rgb2spec, ltype, lidx, p, lam4, u2,
         scene.scene_radius,
@@ -69,7 +122,7 @@ def _direct_light_rgb(scene: SceneData, p, ns, albedo, u2, active):
     o_sh = spawn_ray(p, ns, ls.wi)
     occluded = scene_any_hit(scene, o_sh, ls.wi, ls.t_max, active=active & ls.valid)
     l_spec = ls.li * (cos_i / jnp.maximum(ls.pdf * pmf, 1e-9))[..., None]
-    light_rgb = xyz_to_linear_srgb(spectral_to_xyz(l_spec, lam4, pdf4))
+    light_rgb = _preview_spec_to_rgb(l_spec)
     contrib = albedo / jnp.pi * jnp.maximum(light_rgb, 0.0)
     ok = active & ls.valid & (cos_i > 0.0) & ~occluded
     return jnp.where(ok[..., None], contrib, 0.0)
@@ -152,7 +205,6 @@ def _whitted_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
     )
 
     lam4 = jnp.tile(jnp.asarray([list(_PREVIEW_LAM)], jnp.float32), (n, 1))
-    pdf4 = jnp.full((n, 4), _PREVIEW_PDF)
     L4 = jnp.zeros((n, 4))
     beta4 = jnp.ones((n, 4))
     alive = jnp.ones((n,), bool)
@@ -203,7 +255,7 @@ def _whitted_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         beta4 = jnp.where(cont[..., None], beta4 * thr, beta4)
         alive = cont
 
-    return xyz_to_linear_srgb(spectral_to_xyz(L4, lam4, pdf4))
+    return _preview_spec_to_rgb(L4)
 
 
 def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):

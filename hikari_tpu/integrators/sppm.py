@@ -114,13 +114,24 @@ def _visible_points(scene, camera, zcfg, sample_idx, max_depth):
 
 def _trace_photons(scene, zcfg, it, n_photons, max_depth, key):
     """Photon pass: returns (pos (P,3), power_rgb (P,3), normal (P,3),
-    valid (P,)) deposit events — one deposit per diffuse bounce."""
+    valid (P,)) deposit events — one deposit per diffuse bounce.
+
+    Photons carry SPECTRAL power at the fixed preview wavelengths and
+    bounce through the real BSDF samplers (_sample_bsdf_dispatch), so
+    glossy-conductor and rough-glass caustics are distributed by the true
+    microfacet lobes — reference photons bounce via sample_f
+    (sppm.jl:217,447). Power converts to RGB once, at deposit time."""
+    from .preview import _PREVIEW_LAM, _preview_spec_to_rgb
+    from .volpath import _sample_bsdf_dispatch
+
     kp = jax.random.fold_in(key, it)
     u_sel = jax.random.uniform(jax.random.fold_in(kp, 0), (n_photons,))
     li_flat, pmf = lt.sample_light_index(scene.lights, u_sel)
     ltype = scene.lights.light_type[li_flat]
     lidx = scene.lights.light_idx[li_flat]
     banks = scene.lights
+    lam4 = jnp.tile(jnp.asarray([list(_PREVIEW_LAM)], jnp.float32),
+                    (n_photons, 1))
 
     # emission point + direction per light type (point / spot / area;
     # distant & env photons are launched from the scene bound)
@@ -130,7 +141,9 @@ def _trace_photons(scene, zcfg, it, n_photons, max_depth, key):
     # point: uniform sphere
     p_pt = banks.point_pos[lidx % banks.point_pos.shape[0]]
     d_pt = uniform_sample_sphere(u2a)
-    pow_pt = banks.point_i[lidx % banks.point_i.shape[0]] * (4.0 * jnp.pi)
+    pow_pt = lt._illum(
+        scene.rgb2spec, banks.point_i[lidx % banks.point_i.shape[0]], lam4
+    ) * (4.0 * jnp.pi)
 
     # area: cosine hemisphere about the face normal
     ai = lidx % banks.area_p0.shape[0]
@@ -142,7 +155,9 @@ def _trace_photons(scene, zcfg, it, n_photons, max_depth, key):
     n_ar = banks.area_n[ai]
     t, b, nrm = make_frame(n_ar)
     d_ar = to_world(t, b, nrm, cosine_sample_hemisphere(u2b))
-    pow_ar = banks.area_le[ai] * (jnp.pi * banks.area_area[ai])[..., None]
+    pow_ar = lt._illum(scene.rgb2spec, banks.area_le[ai], lam4) * (
+        jnp.pi * banks.area_area[ai]
+    )[..., None]
 
     is_area = ltype == lt.AREA
     p0 = jnp.where(is_area[..., None], p_ar, p_pt)
@@ -164,65 +179,41 @@ def _trace_photons(scene, zcfg, it, n_photons, max_depth, key):
         sd = _surface_data(scene, rec, o, d)
         flip = dot(sd["ns"], d) > 0.0
         ns = jnp.where(flip[..., None], -sd["ns"], sd["ns"])
-        albedo = jnp.clip(
-            _albedo_rgb_dispatch(scene, sd["mat_type"], sd["mat_idx"], sd["tex"]),
-            0.0, 1.0,
-        )
         spec = _is_specular_type(sd["mat_type"])
         diffuse = hit & ~spec & (sd["mat_type"] != mt.EMISSIVE)
 
         # deposit only from depth >= 1 (direct lighting is handled by NEE)
         if depth > 0:
             dep_p.append(sd["p"])
-            dep_pow.append(power)
+            dep_pow.append(_preview_spec_to_rgb(power))
             dep_n.append(ns)
             dep_ok.append(diffuse)
 
-        # continue: diffuse bounce (cosine) or BSDF-driven specular
-        # transport — glass photons take the Fresnel reflect/refract split
-        # so refractive caustics form (reference SPPM traces photons
-        # through the full RGB BSDF system, sppm.jl:1-550)
+        # continue through the REAL BSDF sample at the photon's fixed
+        # wavelengths (reference sppm.jl:217,447 bounces via sample_f).
+        # Note: samplers are radiance-mode; the eta^2 importance-transport
+        # asymmetry of refraction is not corrected (RGB-preview-grade, as
+        # in the reference's RGB SPPM).
         u2 = jax.random.uniform(jax.random.fold_in(kp, 10 + depth), (n_photons, 2))
+        uc = jax.random.uniform(jax.random.fold_in(kp, 70 + depth), (n_photons,))
         u_rr = jax.random.uniform(jax.random.fold_in(kp, 40 + depth), (n_photons,))
-        u_fr = jax.random.uniform(jax.random.fold_in(kp, 70 + depth), (n_photons,))
         t, b, nrm = make_frame(ns)
-        wi_d = to_world(t, b, nrm, cosine_sample_hemisphere(u2))
-        from ..core.vecmath import reflect, refract
-        from ..materials.fresnel import fresnel_dielectric
-
-        bm = scene.materials
-        midx = jnp.maximum(sd["mat_idx"], 0)
-        wo = -d
-        ci = jnp.maximum(dot(ns, wo), 1e-6)
-        entering = dot(d, sd["ng_raw"]) < 0.0
-        is_glass = sd["mat_type"] == mt.GLASS
-        is_thin = sd["mat_type"] == mt.THIN_DIELECTRIC
-        eta_mat = jnp.where(is_thin, bm.thin_eta[midx], bm.glass_eta[midx])
-        eta_rel = jnp.where(entering | is_thin, eta_mat, 1.0 / eta_mat)
-        F = fresnel_dielectric(ci, eta_rel)
-        F = jnp.where(is_thin, 2.0 * F / (1.0 + F), F)
-        ok_t, wt = refract(wo, ns, eta_rel)
-        choose_refl = (u_fr < F) | (~ok_t & ~is_thin) | ~(is_glass | is_thin)
-        wi_s = jnp.where(
-            choose_refl[..., None], reflect(wo, ns),
-            jnp.where(is_thin[..., None], d, wt),
+        wo_l = -jnp.stack([dot(d, t), dot(d, b), dot(d, nrm)], -1)
+        bs = _sample_bsdf_dispatch(
+            scene, sd["mat_type"], sd["mat_idx"], wo_l, lam4, u2, uc, None,
+            sd["tex"],
         )
-        spec_tint = jnp.where(
-            (is_glass | is_thin)[..., None],
-            jnp.where(choose_refl[..., None],
-                      jnp.where(is_thin[..., None], bm.thin_kr[midx], bm.glass_kr[midx]),
-                      jnp.where(is_thin[..., None], bm.thin_kt[midx], bm.glass_kt[midx])),
-            albedo,
-        )
-        wi = jnp.where(spec[..., None], wi_s, wi_d)
-        # RR on albedo luminance
-        q = jnp.clip(albedo.mean(-1), 0.05, 1.0)
+        wi = to_world(t, b, nrm, bs.wi)
+        thr = bs.f * (jnp.abs(bs.wi[..., 2]) /
+                      jnp.maximum(bs.pdf, 1e-9))[..., None]
+        thr = jnp.where(bs.valid[..., None], thr, 0.0)
+        # RR on throughput luminance
+        q = jnp.clip(thr.mean(-1), 0.05, 1.0)
         survive = u_rr < q
-        thr = jnp.where(spec[..., None], jnp.clip(spec_tint, 0.0, 1.0), albedo)
         power = power * thr / jnp.maximum(q, 1e-6)[..., None]
         o = jnp.where(hit[..., None], spawn_ray(sd["p"], sd["ng"], wi), o)
         d = jnp.where(hit[..., None], wi, d)
-        alive = hit & survive
+        alive = hit & survive & jnp.any(thr > 0.0, -1)
 
     return (
         jnp.concatenate(dep_p), jnp.concatenate(dep_pow),

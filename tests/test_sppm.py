@@ -96,3 +96,39 @@ def test_sppm_refractive_caustic():
     spot = lum[int(0.62 * h):int(0.80 * h), int(0.40 * w):int(0.60 * w)].max()
     side = lum[int(0.62 * h):int(0.80 * h), int(0.05 * w):int(0.25 * w)].mean()
     assert spot > 1.5 * side, (spot, side)
+
+
+def test_sppm_glossy_caustic_matches_volpath():
+    """Glossy-conductor caustic: SPPM photons now bounce through the real
+    microfacet sampler (sppm.jl:217,447), so the caustic a rough gold
+    reflector throws on the floor must agree with VolPath's estimate of
+    the same scene within noise tolerance."""
+    import pytest
+
+    pytest.importorskip("jax")
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import VolPath, render
+    from hikari_tpu.materials.types import Gold
+    from hikari_tpu.scene.mesh import make_sphere
+
+    s = Scene()
+    s.add(make_quad((-2, 0, -2), (2, 0, -2), (2, 0, 2), (-2, 0, 2)),
+          Matte(kd=(0.7, 0.7, 0.7)))
+    # glossy gold sphere reflecting a point light down to the floor
+    s.add(make_sphere((0.0, 0.8, 0.0), 0.45, 16, 32), Gold(roughness=0.1))
+    s.add_light(PointLight(position=(0.0, 2.5, -1.2), intensity=(25.0,) * 3))
+    scene = s.build()
+    cam = make_perspective_camera((0, 1.8, -2.8), (0, 0.3, 0), (32, 32),
+                                  fov_deg=48.0)
+
+    img_s = np.asarray(render_sppm(
+        SPPM(iterations=6, photons_per_iteration=32768, initial_radius=0.18,
+             max_depth=4), scene, cam))
+    img_v = np.asarray(framebuffer(render(
+        VolPath(max_depth=4, samples_per_pixel=96), scene, cam)))
+    assert np.isfinite(img_s).all() and np.isfinite(img_v).all()
+    m_s, m_v = img_s.mean(), img_v.mean()
+    assert m_v > 0.01, m_v
+    # two different estimators of the same transport; agree within the
+    # budgets' combined noise
+    assert 0.6 < m_s / m_v < 1.6, (m_s, m_v)

@@ -123,5 +123,67 @@ def main():
               f"compiled t={got.t[i]:.6f} tri={got.tri[i]}")
 
 
+
+
+def ground_truth_audit():
+    """Compare EACH path (compiled TPU, CPU interpret) against exact f64
+    Moller-Trumbore over all triangles: counts of missed-solid hits (exact
+    margin > tol but path reports miss/farther) and phantom hits (path
+    reports a hit where no triangle accepts within tol). Separates a
+    traversal/cull defect (both paths wrong the same way) from MXU
+    rounding (compiled-only, near-zero margins)."""
+    print(jax.devices())
+    p0, p1, p2 = random_tris(600, seed=3)
+    tl = wf.build_treelets(p0, p1, p2)
+    wl = jnp.asarray(p0.min(0))
+    wh = jnp.asarray(p0.max(0))
+
+    rng = np.random.RandomState(11)
+    r = 4096
+    o = (rng.rand(r, 3).astype(np.float32) * 8 - 4)
+    d = rng.randn(r, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = np.where(rng.rand(r) < 0.3, rng.rand(r) * 3 + 0.05,
+                     np.inf).astype(np.float32)
+    act = rng.rand(r) > 0.25
+
+    args = (tl, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max), wl, wh)
+    actj = jnp.asarray(act)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        ref = wf.closest_hit_packets(*jax.device_put(args, cpu),
+                                     interpret=True,
+                                     active=jax.device_put(actj, cpu))
+    ref = jax.tree.map(np.asarray, ref)
+    got = wf.closest_hit_packets(*args, interpret=False, active=actj)
+    got = jax.tree.map(np.asarray, got)
+
+    verts = np.concatenate([p0, p1, p2], 0)
+    scene_diag = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+    tol = 2e-3  # solid-hit margin threshold (beyond fp-rounding scale)
+
+    stats = {"interp": [0, 0, 0], "compiled": [0, 0, 0]}
+    for i in range(r):
+        if not act[i]:
+            continue
+        t_all, m = exact_margins(o[i], d[i], float(t_max[i]), p0, p1, p2,
+                                 scene_diag)
+        solid = m > tol
+        t_true = t_all[solid].min() if solid.any() else np.inf
+        for name, res in (("interp", ref), ("compiled", got)):
+            t_got = res.t[i] if res.hit[i] else np.inf
+            if np.isfinite(t_true) and t_got > t_true * (1 + 1e-3) + 1e-4:
+                stats[name][0] += 1     # missed a solid closer hit
+            elif res.hit[i] and not (m > -tol).any():
+                stats[name][1] += 1     # phantom hit (no near-accepting tri)
+            else:
+                stats[name][2] += 1
+    for name, (miss, phantom, ok) in stats.items():
+        print(f"{name}: missed-solid={miss} phantom={phantom} ok={ok}")
+
+
 if __name__ == "__main__":
-    main()
+    if sys.argv[-1] == "audit":
+        ground_truth_audit()
+    else:
+        main()
