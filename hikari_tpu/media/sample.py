@@ -435,6 +435,7 @@ def delta_track(
     beta, r_u, r_l,  # (N,4) path state
     active,        # (N,) bool: lanes that should run tracking
     max_depth_hit,  # (N,) bool: lanes already at depth limit (no scattering)
+    max_steps: int | None = None,  # override MAX_TRACK_STEPS (cap tests)
 ) -> DeltaTrackResult:
     """Lockstep delta tracking (sample_segment!, delta-tracking.jl:304-453).
 
@@ -466,8 +467,10 @@ def delta_track(
         state["p"] = o + t0[..., None] * d
         state["dv"] = d + jnp.zeros_like(o)
 
+    step_cap = MAX_TRACK_STEPS if max_steps is None else max_steps
+
     def cond(s):
-        return jnp.any(s["status"] == TRACKING) & (s["step"] < MAX_TRACK_STEPS)
+        return jnp.any(s["status"] == TRACKING) & (s["step"] < step_cap)
 
     def body(s):
         tracking = s["status"] == TRACKING
@@ -622,6 +625,7 @@ def ratio_track_tr(
     t_max,
     lam,
     active,
+    max_steps: int | None = None,
 ):
     """Ratio-tracked shadow transmittance through one medium segment
     (compute_transmittance_ratio_tracking, intersection.jl:302-563).
@@ -648,8 +652,10 @@ def ratio_track_tr(
         step=jnp.zeros((), jnp.int32) + jnp.sum(zero).astype(jnp.int32),
     )
 
+    step_cap = MAX_TRACK_STEPS if max_steps is None else max_steps
+
     def cond(s):
-        return jnp.any(s["running"]) & (s["step"] < MAX_TRACK_STEPS)
+        return jnp.any(s["running"]) & (s["step"] < step_cap)
 
     def body(s):
         # per-cell majorant (same stateless DDA as delta_track)

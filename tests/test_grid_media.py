@@ -206,3 +206,110 @@ def test_stochastic_trilinear_is_unbiased():
                                atol=0.02)
     # every draw returns an actual voxel value (bounded by the cell max)
     assert float(stoch.max()) <= float(dens.max()) + 1e-6
+
+
+def test_track_step_cap_bomex_class():
+    """BOMEX-class cloud (sigma_s=60, g=0.877, the bench `cloud` config):
+    512 tracking steps must agree with the reference's 1024-sample budget
+    (delta-tracking.jl:343) on both scattered-event statistics and
+    ratio-tracked shadow transmittance — pins MAX_TRACK_STEPS=512 as
+    non-truncating on the thickest shipped config (VERDICT r2 item 5)."""
+    import numpy as np
+    from hikari_tpu.media import sample as ms
+    from hikari_tpu.media.types import CloudVolume, pack_media
+    from hikari_tpu.spectral.rgb2spec import srgb_table
+
+    cloud = CloudVolume(resolution=64, bounds_lo=(-1.6, 0.1, -1.2),
+                        bounds_hi=(1.6, 1.8, 1.2), sigma_s=(60.0,) * 3,
+                        sigma_a=(0.4,) * 3, g=0.877)
+    banks = pack_media([cloud])
+    table = srgb_table()
+    n = 4096
+    rs = np.random.RandomState(5)
+    o = np.stack([
+        rs.uniform(-1.5, 1.5, n), np.full(n, 2.2), rs.uniform(-1.1, 1.1, n)
+    ], -1).astype(np.float32)
+    d = np.stack([
+        rs.uniform(-0.3, 0.3, n), -np.ones(n), rs.uniform(-0.3, 0.3, n)
+    ], -1).astype(np.float32)
+    d /= np.linalg.norm(d, -1, keepdims=True)
+    o = jnp.asarray(o)
+    d = jnp.asarray(d)
+    t_max = jnp.full((n,), 10.0)
+    lam = jnp.tile(jnp.asarray([[480.0, 530.0, 590.0, 650.0]]), (n, 1))
+    ones4 = jnp.ones((n, 4))
+    med = jnp.zeros((n,), jnp.int32)
+    act = jnp.ones((n,), bool)
+    nodep = jnp.zeros((n,), bool)
+
+    def run(cap):
+        dt = ms.delta_track(banks, table, med, o, d, t_max, lam,
+                            ones4, ones4, ones4, act, nodep, max_steps=cap)
+        tr, _, _ = ms.ratio_track_tr(banks, table, med, o, d, t_max, lam,
+                                     act, max_steps=cap)
+        return dt, np.asarray(tr)
+
+    dt5, tr5 = run(512)
+    dt10, tr10 = run(1024)
+    # identical RNG stream => lanes that finish within 512 steps are
+    # bitwise identical; the caps differ only via truncated lanes
+    trunc5 = np.asarray(dt5.status) == ms.TRACKING
+    trunc10 = np.asarray(dt10.status) == ms.TRACKING
+    assert trunc10.mean() <= trunc5.mean()
+    # truncation at 512 must be statistically invisible
+    assert trunc5.mean() < 5e-3, trunc5.mean()
+    sc5 = (np.asarray(dt5.status) == ms.SCATTERED).mean()
+    sc10 = (np.asarray(dt10.status) == ms.SCATTERED).mean()
+    assert abs(sc5 - sc10) < 2e-3, (sc5, sc10)
+    # shadow transmittance through the cloud: same within fp noise
+    assert np.abs(tr5 - tr10).max() < 1e-3, np.abs(tr5 - tr10).max()
+
+
+def test_alpha_stack_beyond_rounds_cap():
+    """20 stacked alpha=0.3 layers over the WHOLE floor vs a sheet-free
+    control render: the interface-crossing cap must not visibly truncate
+    shadow transmission. Per-crossing stochastic alpha passes w.p. 0.7, so
+    with the reference-identical 10-crossing cap E[T] = 0.7^10 ~ 2.8%
+    (20 uncapped sheets would give 0.7^20 ~ 0.08%) — pins the cap as
+    reference-equivalent, not silently leakier (VERDICT r2 item 5;
+    reference intersection.jl:223)."""
+    import numpy as np
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import render, VolPath
+    from hikari_tpu.materials.types import Matte
+    from hikari_tpu.scene.mesh import make_quad
+    from hikari_tpu.scene.scene import Scene
+    from hikari_tpu.lights.types import DistantLight
+
+    def floor_render(nsheets):
+        s = Scene()
+        s.add(make_quad((-4, 0, -4), (4, 0, -4), (4, 0, 4), (-4, 0, 4)),
+              Matte(kd=(0.8, 0.8, 0.8)))
+        # sheets larger than the floor: every straight-up shadow ray from
+        # any visible floor point crosses all of them
+        for k in range(nsheets):
+            z = 1.0 + 0.05 * k
+            s.add(make_quad((-5, z, -5), (5, z, -5), (5, z, 5), (-5, z, 5)),
+                  Matte(kd=(0.9, 0.9, 0.9)), alpha=0.3)
+        s.add_light(DistantLight(direction=(0.0, -1.0, 0.0),
+                                 radiance=(5.0, 5.0, 5.0)))
+        scene = s.build()
+        # camera low under the stack, pitched down: every pixel sees floor
+        cam = make_perspective_camera((0, 0.45, -3.2), (0, 0.0, 0.6),
+                                      (24, 24), fov_deg=30.0)
+        # max_depth=1: direct light only, so pixel value IS the shadow
+        # transmittance; indirect off lit sheet undersides stays excluded
+        img = np.asarray(framebuffer(render(
+            VolPath(max_depth=1, samples_per_pixel=48), scene, cam)))
+        assert np.isfinite(img).all()
+        # central block: floor hits well inside the footprint
+        return img.mean(-1)[8:16, 8:16].mean()
+
+    open_floor = floor_render(0)
+    stacked = floor_render(20)
+    assert open_floor > 0.05, open_floor
+    ratio = stacked / open_floor
+    # E[T] = 0.7^10 = 0.0282 under the 10-crossing cap; Monte Carlo noise
+    # at 48 spp over 64 pixels is well under the bracket below
+    assert 0.01 < ratio < 0.06, (stacked, open_floor, ratio)
