@@ -104,6 +104,11 @@ def run(res_px: int, n_iters: int):
             (0.0, 0.7, -3.0), (0.0, 0.9, 0.0), res, fov_deg=50.0
         )
         depth = 32
+    elif which == "materials":
+        scene = build_materials_scene()
+        camera = make_perspective_camera(
+            (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
+        )
     else:
         scene = build_scene()
         camera = make_perspective_camera(
@@ -113,7 +118,8 @@ def run(res_px: int, n_iters: int):
     vp = VolPath(max_depth=depth, samples_per_pixel=256,
                  resident=os.environ.get("HIKARI_RESIDENT", "auto"),
                  resident_levels=int(
-                     os.environ.get("HIKARI_RESIDENT_LEVELS", "0")))
+                     os.environ.get("HIKARI_RESIDENT_LEVELS", "0")),
+                 material_coherence=os.environ.get("BENCH_COHERENCE", "none"))
 
     w, h = res
     lanes = jnp.arange(w * h, dtype=jnp.uint32)
@@ -253,6 +259,49 @@ def build_cloud_scene():
     return s.build()
 
 
+def build_materials_scene():
+    """Wide-material variant of the default scene: the 16 spheres cycle
+    through all 10 BSDF-bearing material types (incl. the three layered
+    coats), the scene class where per-type shading dispatch dominates —
+    the :sorted coherence A/B target (multi-material-eval.jl:450-574)."""
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import (
+        CoatedConductor, CoatedDiffuse, CoatedDiffuseTransmission,
+        DiffuseTransmission, Emissive, Glass, Gold, Matte, Mirror,
+        ThinDielectric,
+    )
+    from hikari_tpu.scene.mesh import make_quad, make_sphere
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    white = Matte(kd=(0.73, 0.73, 0.73))
+    s.add(make_quad((-3, 0, -1), (3, 0, -1), (3, 0, 5), (-3, 0, 5)), white)
+    s.add(make_quad((-3, 0, 5), (3, 0, 5), (3, 4, 5), (-3, 4, 5)), white)
+    s.add(make_quad((-3, 0, -1), (-3, 0, 5), (-3, 4, 5), (-3, 4, -1)),
+          Matte(kd=(0.65, 0.05, 0.05)))
+    s.add(make_quad((3, 0, -1), (3, 4, -1), (3, 4, 5), (3, 0, 5)),
+          Matte(kd=(0.12, 0.45, 0.15)))
+    mats = [
+        Matte(kd=(0.3, 0.4, 0.8)), Mirror(), Glass(eta=1.5),
+        Gold(roughness=0.15), ThinDielectric(), DiffuseTransmission(),
+        CoatedDiffuse(), CoatedConductor(), CoatedDiffuseTransmission(),
+        Glass(eta=1.33),
+    ]
+    k = 0
+    for ix in range(4):
+        for iz in range(4):
+            c = (-1.8 + 1.2 * ix, 0.45, 0.2 + 1.2 * iz)
+            s.add(make_sphere(c, 0.42, 32, 64), mats[k % len(mats)])
+            k += 1
+    s.add(
+        make_quad((-1.0, 3.99, 1.0), (1.0, 3.99, 1.0), (1.0, 3.99, 3.0),
+                  (-1.0, 3.99, 3.0)),
+        Emissive(le=(1.0, 0.95, 0.85), scale=25.0),
+    )
+    s.add_light(PointLight(position=(0.0, 3.0, -0.5), intensity=(8.0,) * 3))
+    return s.build()
+
+
 def main():
     import os
 
@@ -302,6 +351,7 @@ def main():
                 "ray_tile": _wf.RAY_TILE,
                 "band_frac": _wf.BAND_FRAC,
                 "samp_batch": int(os.environ.get("BENCH_SAMP_BATCH", "1")),
+                "coherence": os.environ.get("BENCH_COHERENCE", "none"),
                 "fallback": fallback,
             }
         )

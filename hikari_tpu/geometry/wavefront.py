@@ -96,6 +96,9 @@ BAND_FRAC = float(_os.environ.get("HIKARI_BAND_FRAC", "0.0"))
 # on when compiled, off in interpret mode; HIKARI_COMPACT=off disables for
 # hardware A/Bs of the cascade's cond/branch overhead.
 COMPACT_DEFAULT = _os.environ.get("HIKARI_COMPACT", "auto")
+# segment-AABB cull (endpoints-box treelet rejection for distance-capped
+# rays); HIKARI_SEGCULL=off disables for hardware A/Bs.
+SEGCULL = _os.environ.get("HIKARI_SEGCULL", "on") != "off"
 
 
 def _split3_cols(m: np.ndarray) -> np.ndarray:
@@ -347,13 +350,17 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
     # beyond the light cluster cull even though the direction interval
     # spans the sphere. Unbounded rays get world-scale endpoint boxes and
     # lose nothing.
-    ep = ot + dt * tmt[..., None]
-    seg_lo = jnp.minimum(o_lo, jnp.where(live, ep, 3.0e37).min(1))
-    seg_hi = jnp.maximum(o_hi, jnp.where(live, ep, -3.0e37).max(1))
-    pad = 1e-3 + 1e-4 * jnp.maximum(jnp.abs(seg_lo), jnp.abs(seg_hi))
-    seg_ok = (
-        (lo <= (seg_hi + pad)[:, None, :]) & (hi >= (seg_lo - pad)[:, None, :])
-    ).all(-1)
+    if SEGCULL:
+        ep = ot + dt * tmt[..., None]
+        seg_lo = jnp.minimum(o_lo, jnp.where(live, ep, 3.0e37).min(1))
+        seg_hi = jnp.maximum(o_hi, jnp.where(live, ep, -3.0e37).max(1))
+        pad = 1e-3 + 1e-4 * jnp.maximum(jnp.abs(seg_lo), jnp.abs(seg_hi))
+        seg_ok = (
+            (lo <= (seg_hi + pad)[:, None, :])
+            & (hi >= (seg_lo - pad)[:, None, :])
+        ).all(-1)
+    else:
+        seg_ok = jnp.ones(s_min.shape[:-1], bool)
     # (t_hi > 0) culls all-dead sub-tiles outright: their lanes carry
     # incoherent leftover directions, so every axis is mixed-sign, the slab
     # interval degenerates to (-inf, inf), and t_near=-inf <= t_hi=0 would

@@ -122,7 +122,12 @@ class VolPath:
     runtime — the TPU translation of the reference's :per_type queue
     launches (multi-material-eval.jl:58-445), where an empty queue costs
     nothing. Gating wins for scenes with many material types that appear
-    on few surfaces; 'none' compiles smaller programs.
+    on few surfaces; 'none' compiles smaller programs. 'sorted' is the
+    :sorted queue re-design (multi-material-eval.jl:450-574): lanes are
+    stable-sorted by material tag and each type evaluates on a
+    dynamic-slice window over its contiguous run, sized by a static
+    cascade (n, n/4, n/16, n/64) — shading cost tracks per-type
+    occupancy instead of paying full wavefront width per type.
 
     resident: 'on' | 'off' | 'auto' — keep the bounce-loop path state
     RESIDENT in sorted-compacted lane order: each bounce permutes the
@@ -147,7 +152,7 @@ class VolPath:
     regularize: bool = False
     max_component_value: float = 1e6  # firefly clamp
     seed: int = 0
-    material_coherence: str = "none"  # 'none' | 'gated'
+    material_coherence: str = "none"  # 'none' | 'gated' | 'sorted'
     resident: str = "auto"  # 'on' | 'off' | 'auto'
     resident_levels: int = 0  # 0 = auto
     # nee=False disables next-event estimation: light arrives only via
@@ -158,6 +163,78 @@ class VolPath:
 
 
 # --- material dispatch helpers ------------------------------------------------
+
+
+def _sorted_window_levels(n: int, max_levels: int = 4) -> list[int]:
+    """Descending static window sizes (factor 4) for the sorted material
+    dispatch: n, n/4, n/16, n/64 (floor 1024). Each level is one more
+    trace of the type body, so the ladder is short and geometric."""
+    levels = [n]
+    while len(levels) < max_levels:
+        s = max(1024, -(-levels[-1] // 4))
+        if s >= levels[-1]:
+            break
+        levels.append(s)
+    return levels
+
+
+def _sorted_type_dispatch(mat_type, per_lane, out_init, present, run_type):
+    """Material-sorted shading batches: the TPU re-design of the
+    reference's :sorted mode, which counts, prefix-offsets and
+    scatter-sorts the material queue by type then launches one kernel
+    per contiguous run (multi-material-eval.jl:450-574).
+
+    Here: one stable sort of the lane ids by material tag, then each
+    present type is evaluated on a `lax.dynamic_slice` WINDOW anchored at
+    its run's start. The window size is picked by a lax.cond ladder of
+    static sizes (n, n/4, n/16, n/64), so the evaluation cost of a type
+    tracks its occupancy instead of the full wavefront — dense types pay
+    full width, rare types pay the 1024-lane floor. Windows clamp at the
+    array end (XLA dynamic_slice semantics shift the start back), so the
+    merge re-masks against the sorted tags before writing back.
+
+    mat_type: (N,) int32 tags; per_lane: pytree of (N, ...) inputs;
+    out_init: pytree of (N, ...) identity outputs; run_type(tag, sliced)
+    -> pytree matching out_init's structure over the window."""
+    tm = jax.tree_util.tree_map
+    order = jnp.argsort(mat_type).astype(jnp.int32)
+    mt_s = jnp.take(mat_type, order, axis=0)
+    pl_s = tm(lambda x: jnp.take(x, order, axis=0), per_lane)
+    out = tm(lambda x: jnp.take(x, order, axis=0), out_init)
+    n = mat_type.shape[0]
+    levels = _sorted_window_levels(n)
+
+    for tag in present:
+        start = jnp.searchsorted(mt_s, tag, side="left").astype(jnp.int32)
+        cnt = jnp.searchsorted(mt_s, tag, side="right").astype(jnp.int32) - start
+
+        def run(W, out, tag=tag, start=start):
+            sl = tm(lambda x: jax.lax.dynamic_slice_in_dim(x, start, W), pl_s)
+            res = run_type(tag, sl)
+            m = jax.lax.dynamic_slice_in_dim(mt_s, start, W) == tag
+            cur = tm(lambda x: jax.lax.dynamic_slice_in_dim(x, start, W), out)
+            merged = tm(
+                lambda new, old: jnp.where(
+                    m.reshape(m.shape + (1,) * (new.ndim - 1)), new, old),
+                res, cur)
+            return tm(
+                lambda o, w: jax.lax.dynamic_update_slice_in_dim(o, w, start, 0),
+                out, merged)
+
+        def ladder(idx, out, run=run):
+            W = levels[idx]
+            if idx == len(levels) - 1:
+                return run(W, out)
+            return jax.lax.cond(
+                cnt <= levels[idx + 1],
+                lambda o: ladder(idx + 1, o),
+                lambda o: run(W, o),
+                out)
+
+        out = jax.lax.cond(cnt > 0, lambda o: ladder(0, o), lambda o: o, out)
+
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    return tm(lambda x: jnp.take(x, inv, axis=0), out)
 
 
 def _sample_bsdf_dispatch(
@@ -171,6 +248,57 @@ def _sample_bsdf_dispatch(
     table = scene.rgb2spec
     banks = scene.materials
     out = mb._invalid(mat_type.shape)
+    present = scene.present_materials
+
+    if coherence == "sorted":
+        sample_tags = [t for t in present if t in (
+            mt.MATTE, mt.MIRROR, mt.GLASS, mt.CONDUCTOR, mt.THIN_DIELECTRIC,
+            mt.DIFFUSE_TRANSMISSION, mt.COATED_DIFFUSE, mt.COATED_CONDUCTOR,
+            mt.COATED_DIFFUSE_TRANSMISSION)]
+        per_lane = {"idx": mat_idx, "wo": wo, "lam": lam, "u2": u2, "uc": uc}
+        if regularize is not None:
+            per_lane["reg"] = regularize
+        if tex is not None:
+            per_lane["ctx"] = tex[1]
+
+        def run_type(tag, pl):
+            from ..materials import layered as ml
+
+            idx, wo_s, lam_s = pl["idx"], pl["wo"], pl["lam"]
+            u2_s, uc_s = pl["u2"], pl["uc"]
+            reg = pl.get("reg")
+            tex_s = None if tex is None else (tex[0], pl["ctx"])
+            if tag == mt.MATTE:
+                return mb.sample_matte(banks, idx, table, wo_s, lam_s, u2_s,
+                                       uc_s, tex_s)
+            if tag == mt.MIRROR:
+                return mb.sample_mirror(banks, idx, table, wo_s, lam_s, u2_s,
+                                        uc_s, tex_s)
+            if tag == mt.GLASS:
+                return mb.sample_glass(banks, idx, table, wo_s, lam_s, u2_s,
+                                       uc_s, tex_s, reg)
+            if tag == mt.CONDUCTOR:
+                return mb.sample_conductor(banks, idx, table, wo_s, lam_s,
+                                           u2_s, uc_s, reg, tex_s)
+            if tag == mt.THIN_DIELECTRIC:
+                return mb.sample_thin_dielectric(banks, idx, table, wo_s,
+                                                 lam_s, u2_s, uc_s, tex_s)
+            if tag == mt.DIFFUSE_TRANSMISSION:
+                return mb.sample_diffuse_transmission(banks, idx, table, wo_s,
+                                                      lam_s, u2_s, uc_s, tex_s)
+            if tag == mt.COATED_DIFFUSE:
+                return ml.sample_coated_diffuse(banks, idx, table, wo_s,
+                                                lam_s, u2_s, uc_s, tex_s)
+            if tag == mt.COATED_CONDUCTOR:
+                return ml.sample_coated_conductor(banks, idx, table, wo_s,
+                                                  lam_s, u2_s, uc_s, tex_s)
+            if tag == mt.COATED_DIFFUSE_TRANSMISSION:
+                return ml.sample_coated_diffuse_transmission(
+                    banks, idx, table, wo_s, lam_s, u2_s, uc_s, tex_s)
+            raise ValueError(f"unknown material tag {tag}")
+
+        return _sorted_type_dispatch(mat_type, per_lane, out, sample_tags,
+                                     run_type)
 
     def merge(out, s_fn, type_tag):
         m = mat_type == type_tag
@@ -191,7 +319,6 @@ def _sample_bsdf_dispatch(
             return jax.lax.cond(jnp.any(m), apply, lambda o: o, out)
         return apply(out)
 
-    present = scene.present_materials
     if mt.MATTE in present:
         out = merge(out, lambda: mb.sample_matte(
             banks, mat_idx, table, wo, lam, u2, uc, tex), mt.MATTE)
@@ -242,6 +369,57 @@ def _eval_bsdf_dispatch(
     banks = scene.materials
     f = jnp.zeros(lam.shape, jnp.float32)
     pdf = jnp.zeros(mat_type.shape, jnp.float32)
+    present = scene.present_materials
+
+    if coherence == "sorted":
+        layered_tags = (mt.COATED_DIFFUSE, mt.COATED_CONDUCTOR,
+                        mt.COATED_DIFFUSE_TRANSMISSION)
+        eval_tags = [t for t in present if t in (
+            mt.MATTE, mt.CONDUCTOR, mt.GLASS, mt.DIFFUSE_TRANSMISSION)]
+        if eval_u2 is not None:
+            eval_tags += [t for t in present if t in layered_tags]
+        per_lane = {"idx": mat_idx, "wo": wo, "wi": wi, "lam": lam}
+        if regularize is not None:
+            per_lane["reg"] = regularize
+        if tex is not None:
+            per_lane["ctx"] = tex[1]
+        if eval_u2 is not None:
+            per_lane["u2"] = eval_u2
+            per_lane["uc"] = eval_uc
+
+        def run_type(tag, pl):
+            from ..materials import layered as ml
+
+            idx, wo_s, wi_s, lam_s = pl["idx"], pl["wo"], pl["wi"], pl["lam"]
+            reg = pl.get("reg")
+            tex_s = None if tex is None else (tex[0], pl["ctx"])
+            if tag == mt.MATTE:
+                return mb.eval_matte(banks, idx, table, wo_s, wi_s, lam_s,
+                                     tex_s)
+            if tag == mt.CONDUCTOR:
+                return mb.eval_conductor(banks, idx, table, wo_s, wi_s, lam_s,
+                                         reg, tex_s)
+            if tag == mt.GLASS:
+                return mb.eval_glass(banks, idx, table, wo_s, wi_s, lam_s,
+                                     reg, tex_s)
+            if tag == mt.DIFFUSE_TRANSMISSION:
+                return mb.eval_diffuse_transmission(banks, idx, table, wo_s,
+                                                    wi_s, lam_s, tex_s)
+            if tag == mt.COATED_DIFFUSE:
+                return ml.eval_coated_diffuse(banks, idx, table, wo_s, wi_s,
+                                              lam_s, pl["u2"], pl["uc"], tex_s)
+            if tag == mt.COATED_CONDUCTOR:
+                return ml.eval_coated_conductor(banks, idx, table, wo_s, wi_s,
+                                                lam_s, pl["u2"], pl["uc"],
+                                                tex_s)
+            if tag == mt.COATED_DIFFUSE_TRANSMISSION:
+                return ml.eval_coated_diffuse_transmission(
+                    banks, idx, table, wo_s, wi_s, lam_s, pl["u2"], pl["uc"],
+                    tex_s)
+            raise ValueError(f"unknown material tag {tag}")
+
+        return _sorted_type_dispatch(mat_type, per_lane, (f, pdf), eval_tags,
+                                     run_type)
 
     def put(f, pdf, fn, type_tag):
         m = mat_type == type_tag
@@ -255,7 +433,6 @@ def _eval_bsdf_dispatch(
             return jax.lax.cond(jnp.any(m), apply, lambda fp: fp, (f, pdf))
         return apply((f, pdf))
 
-    present = scene.present_materials
     if mt.MATTE in present:
         f, pdf = put(f, pdf, lambda: mb.eval_matte(
             banks, mat_idx, table, wo, wi, lam, tex), mt.MATTE)

@@ -56,7 +56,7 @@ ALL_MATERIALS = [
 ]
 
 
-@pytest.mark.parametrize("coherence", ["none", "gated"])
+@pytest.mark.parametrize("coherence", ["none", "gated", "sorted"])
 def test_all_material_types_trace(coherence):
     s = Scene()
     s.add(make_quad((-4, 0, -4), (4, 0, -4), (4, 0, 4), (-4, 0, 4)), Matte())
@@ -119,3 +119,35 @@ def test_bvh_light_sampler_traces():
                         (x, 2, 0.2)), Emissive(le=(1, 1, 1), scale=5))
     s.set_light_sampler("bvh")
     _abstract_render(s.build())
+
+
+def test_sorted_coherence_matches_dense():
+    """'sorted' is a pure re-ordering of the same per-lane math: the
+    rendered image must match 'none' to fp tolerance on a scene wide
+    enough to occupy several sort windows (multi-material-eval.jl:450-574
+    equivalence between :none and :sorted queues)."""
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import render
+
+    s = Scene()
+    s.add(make_quad((-4, 0, -4), (4, 0, -4), (4, 0, 4), (-4, 0, 4)),
+          Matte(kd=(0.6, 0.6, 0.65)))
+    mats = [Matte(kd=(0.8, 0.2, 0.2)), Mirror(), Glass(eta=1.5),
+            Gold(roughness=0.15), CoatedDiffuse(), DiffuseTransmission()]
+    for i, m in enumerate(mats):
+        x = -1.8 + 0.7 * i
+        s.add(make_sphere((x, 0.35, 0), 0.3, 6, 12), m)
+    s.add_light(PointLight(position=(0, 3, -2), intensity=(12,) * 3))
+    s.add_light(DistantLight(direction=(0.3, -1, 0.2), radiance=(2,) * 3))
+    scene = s.build()
+    cam = make_perspective_camera((0, 1.2, -3.4), (0, 0.3, 0), (32, 32),
+                                  fov_deg=50.0)
+
+    imgs = {}
+    for coh in ("none", "sorted"):
+        vp = VolPath(max_depth=4, samples_per_pixel=8,
+                     material_coherence=coh)
+        imgs[coh] = np.asarray(framebuffer(render(vp, scene, cam)))
+    assert np.isfinite(imgs["sorted"]).all()
+    np.testing.assert_allclose(imgs["sorted"], imgs["none"],
+                               rtol=2e-4, atol=2e-4)

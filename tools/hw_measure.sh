@@ -3,6 +3,12 @@
 # Usage: tools/hw_measure.sh [outdir]   (default /tmp/hw_r2)
 # Order matters: consistency first (correctness pin), then the bench
 # (the scored number), then microbenches and A/B sweeps.
+#
+# RULE: the measurement host has ONE CPU core. Never run any other
+# process (tests, builds, editors' language servers) while a bench is in
+# flight — host contention silently deflates Mray/s 2-5x while per-run
+# spreads stay tight (round-3 postmortem: identical code measured 3.151
+# contended vs 5.033 idle; PERF.md "single-core host contention").
 set -u
 OUT=${1:-/tmp/hw_r2}
 mkdir -p "$OUT"
