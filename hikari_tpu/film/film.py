@@ -59,6 +59,18 @@ def film_add_sample(film: Film, rgb: jnp.ndarray, weight: jnp.ndarray) -> Film:
     )
 
 
+def film_add_weighted(film: Film, rgb_weighted: jnp.ndarray,
+                      weight: jnp.ndarray) -> Film:
+    """Accumulate PRE-weighted contributions: rgb_weighted = Σ rgb_i·w_i
+    over a batch of samples, weight = Σ w_i (used by VolPath's
+    sample_batch path, which folds K samples into one dispatch)."""
+    return film.replace(
+        rgb_sum=film.rgb_sum + rgb_weighted,
+        weight_sum=film.weight_sum + weight,
+        iteration=film.iteration + 1,
+    )
+
+
 def film_add_aux(film: Film, albedo, normal, depth, weight) -> Film:
     return film.replace(
         albedo=film.albedo + albedo * weight[..., None],

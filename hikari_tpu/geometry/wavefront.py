@@ -99,6 +99,11 @@ COMPACT_DEFAULT = _os.environ.get("HIKARI_COMPACT", "auto")
 # segment-AABB cull (endpoints-box treelet rejection for distance-capped
 # rays); HIKARI_SEGCULL=off disables for hardware A/Bs.
 SEGCULL = _os.environ.get("HIKARI_SEGCULL", "on") != "off"
+# front-to-back early-out (per-pair conservative entry distance vs the
+# tile's worst unresolved t) and the direction-independent L2 entry
+# bound; =off disables for compiled-vs-interpret divergence bisection.
+EARLYOUT = _os.environ.get("HIKARI_EARLYOUT", "on") != "off"
+L2BOUND = _os.environ.get("HIKARI_L2BOUND", "on") != "off"
 
 
 def _split3_cols(m: np.ndarray) -> np.ndarray:
@@ -341,7 +346,8 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
         + jnp.maximum(o_lo[:, None, :] - hi, 0.0)
     )
     dist = jnp.sqrt(jnp.sum(gap * gap, axis=-1)) * 0.999
-    t_near = jnp.maximum(t_near, dist)
+    if L2BOUND:
+        t_near = jnp.maximum(t_near, dist)
     # Segment-bbox cull: every point o + s*d, s in [0, t_max], lies in
     # AABB(origins ∪ endpoints) — convexity, no unit-d assumption. For
     # distance-capped rays whose direction signs are mixed per axis
@@ -744,6 +750,8 @@ def closest_hit_packets(
 
         def sweep(meta, n_pairs, tnear, carry_in):
             tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
+            if not EARLYOUT:  # bits(0)=0 < any threshold: never skip
+                tnear_pair = jnp.zeros_like(tnear_pair)
             key, tr = _sweep_chunks(
                 _closest_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6,
                 carry_in, [], tl, n_tiles, interpret)

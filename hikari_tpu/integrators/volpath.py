@@ -35,7 +35,7 @@ from ..core.lookup import bank_lookup as _bl
 from ..camera.camera import CameraSample, PerspectiveCamera
 from ..core.ray import spawn_ray
 from ..core.vecmath import dot, face_forward, make_frame, normalize, to_local, to_world
-from ..film.film import Film, film_add_sample
+from ..film.film import Film, film_add_sample, film_add_weighted
 from ..film.filters import FilterSampler, filter_sample, make_filter
 from ..geometry.traverse import closest_hit
 from ..geometry.triangle import interpolate, triangle_normal
@@ -153,6 +153,9 @@ class VolPath:
     max_component_value: float = 1e6  # firefly clamp
     seed: int = 0
     material_coherence: str = "none"  # 'none' | 'gated' | 'sorted'
+    # K consecutive samples dispatched as one K*w*h-lane wavefront: per-op
+    # fixed cost amortizes (+9% at K=2 on the v5e bench), K x state memory
+    sample_batch: int = 1
     resident: str = "auto"  # 'on' | 'off' | 'auto'
     resident_levels: int = 0  # 0 = auto
     # nee=False disables next-event estimation: light arrives only via
@@ -880,16 +883,34 @@ def render_sample(
 
     Mirrors render!(vp, scene, film, camera) (volpath.jl:445-636) — one
     progressive sample per call, jit-compiled as a single TPU program.
+
+    `vp.sample_batch = K` dispatches K consecutive samples of the whole
+    frame as ONE wavefront of K*w*h lanes (sample_idx is then the FIRST
+    sample of the batch: samples sample_idx .. sample_idx+K-1). Fixed
+    per-op overhead on (8, 128, T) blocks amortizes over K× more live
+    work — hardware A/B on the v5e measured +9% at K=2 on the 800×800
+    bench scene (PERF.md round 3) — at the cost of K× the transient
+    path-state memory.
     """
     w, h = camera.resolution
     n = w * h
+    k = max(1, int(vp.sample_batch))
     lanes = jnp.arange(n, dtype=jnp.uint32)
     px = lanes % w
     py = lanes // w
-    rgb, filter_w, stats = render_lanes(vp, scene, camera, filt, sample_idx, px, py)
-    rgb_img = rgb.reshape(h, w, 3)
-    w_img = filter_w.reshape(h, w)
-    return film_add_sample(film, rgb_img, w_img)
+    si = sample_idx
+    if k > 1:
+        px = jnp.tile(px, k)
+        py = jnp.tile(py, k)
+        si = sample_idx + jnp.repeat(jnp.arange(k, dtype=jnp.uint32), n)
+    rgb, filter_w, stats = render_lanes(vp, scene, camera, filt, si, px, py)
+    if k > 1:
+        # Pre-weight per sample BEFORE summing over the batch: the film
+        # accumulates Σ rgb_i·w_i and Σ w_i, not (Σ rgb_i)·(Σ w_i).
+        rgbw = (rgb * filter_w[:, None]).reshape(k, h, w, 3).sum(0)
+        w_img = filter_w.reshape(k, h, w).sum(0)
+        return film_add_weighted(film, rgbw, w_img)
+    return film_add_sample(film, rgb.reshape(h, w, 3), filter_w.reshape(h, w))
 
 
 # resident-state channel layout for the one-per-bounce permutation gather
@@ -1409,6 +1430,17 @@ def render(
         film = make_film(*camera.resolution)
     if filt is None:
         filt = make_filter()
-    for s in range(vp.samples_per_pixel):
-        film = render_sample_jit(vp, scene, camera, film, filt, jnp.uint32(s))
+    k = max(1, int(vp.sample_batch))
+    for s in range(vp.samples_per_pixel // k):
+        film = render_sample_jit(
+            vp, scene, camera, film, filt, jnp.uint32(s * k))
+    rem = vp.samples_per_pixel % k
+    if rem:
+        # trailing partial batch: one extra compile at width rem
+        import dataclasses
+
+        vp_rem = dataclasses.replace(vp, sample_batch=rem)
+        film = render_sample_jit(
+            vp_rem, scene, camera, film, filt,
+            jnp.uint32(vp.samples_per_pixel - rem))
     return film

@@ -151,3 +151,29 @@ def test_sorted_coherence_matches_dense():
     assert np.isfinite(imgs["sorted"]).all()
     np.testing.assert_allclose(imgs["sorted"], imgs["none"],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sample_batch_matches_sequential():
+    """sample_batch=K traces the SAME sample indices as K sequential
+    dispatches — images must agree to accumulation-order tolerance,
+    including a non-dividing K (trailing partial batch)."""
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.integrators.volpath import render
+
+    s = Scene()
+    s.add(make_quad((-4, 0, -4), (4, 0, -4), (4, 0, 4), (-4, 0, 4)),
+          Matte(kd=(0.6, 0.6, 0.65)))
+    s.add(make_sphere((0, 0.4, 0), 0.35, 6, 12), Glass(eta=1.5))
+    s.add(make_sphere((-0.9, 0.35, 0.2), 0.3, 6, 12), Matte(kd=(0.7, 0.3, 0.2)))
+    s.add_light(PointLight(position=(0, 3, -2), intensity=(12,) * 3))
+    scene = s.build()
+    cam = make_perspective_camera((0, 1.2, -3.0), (0, 0.3, 0), (24, 24),
+                                  fov_deg=45.0)
+
+    imgs = {}
+    for k in (1, 2, 3):  # spp=8: k=3 exercises the partial trailing batch
+        vp = VolPath(max_depth=3, samples_per_pixel=8, sample_batch=k)
+        imgs[k] = np.asarray(framebuffer(render(vp, scene, cam)))
+    assert np.isfinite(imgs[1]).all()
+    np.testing.assert_allclose(imgs[2], imgs[1], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(imgs[3], imgs[1], rtol=2e-5, atol=2e-5)
