@@ -106,24 +106,48 @@ EARLYOUT = _os.environ.get("HIKARI_EARLYOUT", "on") != "off"
 L2BOUND = _os.environ.get("HIKARI_L2BOUND", "on") != "off"
 
 
+def _trunc_bf16(x):
+    """f32 with the low 16 mantissa bits zeroed: the nearest-toward-zero
+    bf16-representable value, via integer masking. The bitcasts pin the
+    f32 representation — XLA:TPU's BFloat16Propagation pass rewrites
+    `x - f32(bf16(x))` residual chains to bf16 arithmetic when every
+    consumer is a bf16 convert (measured: the wavefront sweep's split
+    collapsed to plain-bf16 accuracy ONLY when fused in-program, costing
+    28% of closest hits on the bench scene), but it cannot rewrite
+    integer ops."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def _split3_cols(m: np.ndarray) -> np.ndarray:
     """(4, C) f32 -> (24, C) bf16: rows [m1 m2 m1 m3 m1 m2] pairing with
     ray columns [a1 a1 a2 a1 a3 a2] so one K=24 bf16 matmul accumulates the
-    six >=2^-24 partial products of (a1+a2+a3)(m1+m2+m3) in f32."""
+    six >=2^-24 partial products of (a1+a2+a3)(m1+m2+m3) in f32.
+
+    Truncation splits (not round-to-nearest): m1f is a bit-prefix of m, so
+    both residual subtractions are exact (Sterbenz) and m1+m2+m3 carries
+    m's top 24 mantissa bits regardless of backend or fusion context."""
     m = jnp.asarray(m, jnp.float32)
-    m1 = m.astype(jnp.bfloat16)
-    r = m - m1.astype(jnp.float32)
-    m2 = r.astype(jnp.bfloat16)
-    m3 = (r - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+    m1f = _trunc_bf16(m)
+    r = m - m1f
+    m2f = _trunc_bf16(r)
+    m3f = _trunc_bf16(r - m2f)
+    m1 = m1f.astype(jnp.bfloat16)   # exact: already bf16-representable
+    m2 = m2f.astype(jnp.bfloat16)
+    m3 = m3f.astype(jnp.bfloat16)
     return jnp.concatenate([m1, m2, m1, m3, m1, m2], axis=0)
 
 
 def _split3_rays(a: jnp.ndarray) -> jnp.ndarray:
-    """(R, 4) f32 -> (R, 24) bf16 ray-side split: [a1 a1 a2 a1 a3 a2]."""
-    a1 = a.astype(jnp.bfloat16)
-    r = a - a1.astype(jnp.float32)
-    a2 = r.astype(jnp.bfloat16)
-    a3 = (r - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    """(R, 4) f32 -> (R, 24) bf16 ray-side split: [a1 a1 a2 a1 a3 a2].
+    Same fusion-proof truncation split as _split3_cols."""
+    a1f = _trunc_bf16(a)
+    r = a - a1f
+    a2f = _trunc_bf16(r)
+    a3f = _trunc_bf16(r - a2f)
+    a1 = a1f.astype(jnp.bfloat16)
+    a2 = a2f.astype(jnp.bfloat16)
+    a3 = a3f.astype(jnp.bfloat16)
     return jnp.concatenate([a1, a1, a2, a1, a3, a2], axis=1)
 
 
