@@ -65,6 +65,66 @@ def build_scene():
     return s.build()
 
 
+def transport_probe(scene):
+    """64x64, depth-5, 1-spp render of the default bench scene: the
+    phase-7 transport invariants (rays_traced + mean framebuffer RGB).
+    Run on CPU by tools/gen_transport_ref.py to produce the reference;
+    run on the chip by check_transport() before every timed bench."""
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.film.filters import make_filter
+    from hikari_tpu.integrators.volpath import VolPath, render_lanes
+
+    res = (64, 64)
+    camera = make_perspective_camera(
+        (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0)
+    filt = make_filter()
+    vp = VolPath(max_depth=5, samples_per_pixel=1)
+    lanes = jnp.arange(64 * 64, dtype=jnp.uint32)
+    px = lanes % 64
+    py = lanes // 64
+
+    @jax.jit
+    def probe(s):
+        rgb, wgt, stats = render_lanes(vp, scene, camera, filt, s, px, py)
+        return stats["rays_traced"], rgb.mean()
+
+    rays, mean_rgb = probe(jnp.uint32(0))
+    return float(np.asarray(rays)), float(np.asarray(mean_rgb))
+
+
+def check_transport(scene):
+    """On-chip transport tripwire: compare the probe against the stored
+    CPU reference (tools/transport_ref.json). The round-3 bf16-fusion bug
+    dropped ~28% of closest hits while every timing spread stayed tight —
+    this makes any future fusion/precision regression fail the bench JSON
+    loudly instead of shipping a silently-wrong number.
+
+    Returns 'pass', 'skip: <why>', or 'FAIL: <what diverged>'."""
+    import os
+
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "transport_ref.json")
+    if os.environ.get("BENCH_SKIP_CHECK"):
+        return "skip: BENCH_SKIP_CHECK"
+    if not os.path.exists(ref_path):
+        return "skip: no transport_ref.json"
+    with open(ref_path) as f:
+        ref = json.load(f)
+    rays, mean_rgb = transport_probe(scene)
+    # rays: edge-margin hit flips move a handful of lanes; the bug class
+    # this guards against moves >20%. mean_rgb: fp reassociation across
+    # backends stays ~1e-3 relative; broken transport moves ~10%.
+    dr = abs(rays - ref["rays_traced"]) / max(ref["rays_traced"], 1.0)
+    dc = abs(mean_rgb - ref["mean_rgb"]) / max(abs(ref["mean_rgb"]), 1e-6)
+    if dr > 0.005:
+        return (f"FAIL: rays_traced {rays:.0f} vs ref "
+                f"{ref['rays_traced']:.0f} ({dr * 100:.2f}%)")
+    if dc > 0.02:
+        return (f"FAIL: mean_rgb {mean_rgb:.7f} vs ref "
+                f"{ref['mean_rgb']:.7f} ({dc * 100:.2f}%)")
+    return "pass"
+
+
 def run(res_px: int, n_iters: int):
     from hikari_tpu.camera.camera import make_perspective_camera
     from hikari_tpu.film.filters import make_filter
@@ -130,7 +190,7 @@ def run(res_px: int, n_iters: int):
     # wavefront of K*w*h lanes: per-op fixed overhead on (8, 128, T) blocks
     # amortizes over more live work (PERF.md round-1 treelet sweep), at the
     # cost of K x the path-state memory.
-    ksamp = int(os.environ.get("BENCH_SAMP_BATCH", "1"))
+    ksamp = int(os.environ.get("BENCH_SAMP_BATCH", "2"))
     if ksamp > 1:
         px = jnp.tile(px, ksamp)
         py = jnp.tile(py, ksamp)
@@ -308,6 +368,15 @@ def main():
     baseline = 50.0
     res = int(os.environ.get("BENCH_RES", "800"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
+    # transport tripwire BEFORE timing (VERDICT r3 item 4): a compiled-
+    # transport divergence must fail the recorded JSON, not ship silently
+    transport = "skip: non-default scene"
+    if os.environ.get("BENCH_SCENE", "default") == "default":
+        try:
+            transport = check_transport(build_scene())
+        except Exception as e:  # pragma: no cover - probe-infra path
+            transport = f"skip: probe error {type(e).__name__}: {e}"
+        print(f"transport_check: {transport}", flush=True)
     # device faults at extreme program sizes fall back to smaller configs
     # so the driver always records a number
     spread = (0.0, 0.0)
@@ -350,12 +419,15 @@ def main():
                 "treelet": _wf.TREELET,
                 "ray_tile": _wf.RAY_TILE,
                 "band_frac": _wf.BAND_FRAC,
-                "samp_batch": int(os.environ.get("BENCH_SAMP_BATCH", "1")),
+                "samp_batch": int(os.environ.get("BENCH_SAMP_BATCH", "2")),
                 "coherence": os.environ.get("BENCH_COHERENCE", "none"),
                 "fallback": fallback,
+                "transport_check": transport,
             }
         )
     )
+    if transport.startswith("FAIL"):
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

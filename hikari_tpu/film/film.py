@@ -60,14 +60,16 @@ def film_add_sample(film: Film, rgb: jnp.ndarray, weight: jnp.ndarray) -> Film:
 
 
 def film_add_weighted(film: Film, rgb_weighted: jnp.ndarray,
-                      weight: jnp.ndarray) -> Film:
+                      weight: jnp.ndarray, n_samples: int = 1) -> Film:
     """Accumulate PRE-weighted contributions: rgb_weighted = Σ rgb_i·w_i
-    over a batch of samples, weight = Σ w_i (used by VolPath's
-    sample_batch path, which folds K samples into one dispatch)."""
+    over a batch of n_samples samples, weight = Σ w_i (used by VolPath's
+    sample_batch path, which folds K samples into one dispatch; the
+    progressive `iteration` counter advances by K so checkpoint/resume
+    bookkeeping counts SAMPLES, not dispatches)."""
     return film.replace(
         rgb_sum=film.rgb_sum + rgb_weighted,
         weight_sum=film.weight_sum + weight,
-        iteration=film.iteration + 1,
+        iteration=film.iteration + n_samples,
     )
 
 

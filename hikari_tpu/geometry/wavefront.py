@@ -60,8 +60,12 @@ from .traverse import HitRecord
 
 import os as _os
 
-# rays per packet (sublane rows x 128 lanes); overridable for perf sweeps
-RAY_TILE = int(_os.environ.get("HIKARI_RAY_TILE", "1024"))
+# rays per packet (sublane rows x 128 lanes); overridable for perf sweeps.
+# Default 512: hardware A/B (PERF.md phase-6, idle host) measured 2.695
+# Mray/s at 512 vs 2.650 at 1024 on the default bench — tighter per-tile
+# frusta beat the per-op overhead at this size. 256 fails to compile on
+# the TPU backend (Mosaic internal error).
+RAY_TILE = int(_os.environ.get("HIKARI_RAY_TILE", "512"))
 LANES = 128
 ROWS = RAY_TILE // LANES
 # triangles per treelet (TT); overridable for perf sweeps

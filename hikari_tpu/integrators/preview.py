@@ -128,14 +128,18 @@ def _direct_light_rgb(scene: SceneData, p, ns, albedo, u2, active):
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def _direct_light_bsdf(scene: SceneData, sd, wo, u2, u2e, uce, active):
+def _direct_light_bsdf(scene: SceneData, sd, wo, ul, u2, u2e, uce, active):
     """Direct lighting through the real BSDF f at the preview wavelengths
-    (reference shade_lights, material.jl:130-180). Returns spectral (n, 4)."""
+    (reference shade_lights, material.jl:130-180). Returns spectral (n, 4).
+
+    ul is a dedicated 1d uniform for light selection — reusing u2[...,0]
+    for both selection and the light position sample makes that coordinate
+    non-uniform conditioned on the selected light, biasing area-light
+    position sampling (VolPath draws separate Sobol dims the same way)."""
     n = wo.shape[0]
     lam4 = jnp.tile(jnp.asarray([list(_PREVIEW_LAM)], jnp.float32), (n, 1))
     if scene.n_lights == 0:
         return jnp.zeros_like(lam4)
-    ul = u2[..., 0]
     li_flat, pmf = lt.sample_light_index(scene.lights, ul)
     ltype = scene.lights.light_type[li_flat]
     lidx = scene.lights.light_idx[li_flat]
@@ -234,7 +238,9 @@ def _whitted_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         u2 = jnp.stack(sb.path_sample_2d(zcfg, px, py, si, depth, 0), -1)
         u2e = jnp.stack(sb.path_sample_2d(zcfg, px, py, si, depth, 7), -1)
         uce = sb.path_sample_1d(zcfg, px, py, si, depth, 9)
-        L4 = L4 + beta4 * _direct_light_bsdf(scene, sd, wo, u2, u2e, uce, shade)
+        ul = sb.path_sample_1d(zcfg, px, py, si, depth, 10)
+        L4 = L4 + beta4 * _direct_light_bsdf(
+            scene, sd, wo, ul, u2, u2e, uce, shade)
 
         # specular recursion: sample the BSDF, continue only on delta lobes
         # (Whitted semantics — glossy/diffuse paths stop at direct light)
@@ -255,7 +261,9 @@ def _whitted_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         beta4 = jnp.where(cont[..., None], beta4 * thr, beta4)
         alive = cont
 
-    return _preview_spec_to_rgb(L4)
+    # clamp like _direct_light_rgb: the least-squares spectral->RGB map
+    # can emit small negative components
+    return jnp.maximum(_preview_spec_to_rgb(L4), 0.0)
 
 
 def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):

@@ -185,7 +185,10 @@ def _trace_photons(scene, zcfg, it, n_photons, max_depth, key):
         # deposit only from depth >= 1 (direct lighting is handled by NEE)
         if depth > 0:
             dep_p.append(sd["p"])
-            dep_pow.append(_preview_spec_to_rgb(power))
+            # clamp: the least-squares 3x4 spectral->RGB map can produce
+            # small negative components; negative photon energy would
+            # locally darken the gather below zero
+            dep_pow.append(jnp.maximum(_preview_spec_to_rgb(power), 0.0))
             dep_n.append(ns)
             dep_ok.append(diffuse)
 

@@ -154,8 +154,10 @@ class VolPath:
     seed: int = 0
     material_coherence: str = "none"  # 'none' | 'gated' | 'sorted'
     # K consecutive samples dispatched as one K*w*h-lane wavefront: per-op
-    # fixed cost amortizes (+9% at K=2 on the v5e bench), K x state memory
-    sample_batch: int = 1
+    # fixed cost amortizes (+9% at K=2 on the v5e bench), K x state memory.
+    # Default 2 since the round-3 idle-host A/B (PERF.md phase-5: 2.897 vs
+    # 2.650 Mray/s); K=4 exceeds the TPU backend's program limits at 800^2.
+    sample_batch: int = 2
     resident: str = "auto"  # 'on' | 'off' | 'auto'
     resident_levels: int = 0  # 0 = auto
     # nee=False disables next-event estimation: light arrives only via
@@ -909,7 +911,7 @@ def render_sample(
         # accumulates Σ rgb_i·w_i and Σ w_i, not (Σ rgb_i)·(Σ w_i).
         rgbw = (rgb * filter_w[:, None]).reshape(k, h, w, 3).sum(0)
         w_img = filter_w.reshape(k, h, w).sum(0)
-        return film_add_weighted(film, rgbw, w_img)
+        return film_add_weighted(film, rgbw, w_img, n_samples=k)
     return film_add_sample(film, rgb.reshape(h, w, 3), filter_w.reshape(h, w))
 
 
