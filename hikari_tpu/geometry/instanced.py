@@ -318,7 +318,7 @@ def closest_hit_instanced(
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
     o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
-    assert n_pad // RAY_TILE <= (1 << (31 - TILE_SHIFT)), \
+    assert n_pad // RAY_TILE <= (1 << (31 - TILE_SHIFT)) - 1, \
         "ray count exceeds tile field"
 
     if presorted:

@@ -71,10 +71,20 @@ ROWS = RAY_TILE // LANES
 # triangles per treelet (TT); overridable for perf sweeps
 TREELET = int(_os.environ.get("HIKARI_TREELET", "256"))
 PAIR_CHUNK = 64 * 1024  # pairs per pallas_call; meta+tnear SMEM = 512 KB
-# pair metadata packs (tile << TILE_SHIFT | treelet) into one int32:
-# <= 4096 ray tiles (4.2M rays per dispatch) x <= 1M world treelets
-TILE_SHIFT = 20
+# pair metadata packs (tile << TILE_SHIFT | treelet) into one int32. The
+# tile field gets 31 - TILE_SHIFT usable bits: meta is int32 (scalar-
+# prefetch arrays are int32 and `meta >> TILE_SHIFT` is an ARITHMETIC
+# shift), so a tile index reaching the sign bit comes back negative and
+# the Mosaic block index_map reads out of bounds — the round-3 default
+# shift of 20 capped dispatches at 2047 tiles and made 800^2 x
+# samp_batch=2 at RAY_TILE=512 (2500 tiles) die with an opaque "TPU
+# backend error (Internal)". 16/15 bits: <= 65535 treelets (16.7M tris
+# at TT=256) x <= 32767 ray tiles (16.7M rays per dispatch), both
+# asserted at trace time.
+TILE_SHIFT = 16
 TREELET_MASK = (1 << TILE_SHIFT) - 1
+MAX_TILES = (1 << (31 - TILE_SHIFT)) - 1
+MAX_TREELETS = (1 << TILE_SHIFT) - 1
 
 
 @pytree_dataclass
@@ -433,6 +443,11 @@ def _build_pairs(mask, tnear):
     last real pair (sweeping a pair twice is idempotent, so padding steps
     are harmless)."""
     n_tiles, T = mask.shape
+    assert n_tiles <= MAX_TILES, (
+        f"{n_tiles} ray tiles exceeds the {MAX_TILES}-tile pair-meta field "
+        f"(dispatch of {n_tiles * RAY_TILE} lanes; split the wavefront)")
+    assert T <= MAX_TREELETS, (
+        f"{T} treelets exceeds the {MAX_TREELETS}-treelet pair-meta field")
     srt = jnp.argsort(jnp.where(mask, tnear, 3.0e37), axis=1).astype(jnp.int32)
     alive = jnp.take_along_axis(mask, srt, 1)
     tile_ids = jnp.broadcast_to(

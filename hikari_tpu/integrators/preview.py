@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..camera.camera import CameraSample, PerspectiveCamera
-from ..core.ray import spawn_ray
+from ..core.ray import RayDifferentials, spawn_ray
 from ..core.vecmath import dot, make_frame, reflect, refract, to_local, to_world
 from ..film.film import Film, film_add_sample, make_film
 from ..lights import types as lt
@@ -207,6 +207,25 @@ def _whitted_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         CameraSample(p_film=p_film, lens=ps.lens, time=ps.time,
                      filter_weight=jnp.ones((n,)))
     )
+    # TRUE ray differentials: +1-pixel shifted film samples (same lens/
+    # time), contracted by 1/sqrt(spp) like the reference's
+    # scale_differentials (generate_ray_differential, camera.jl:57-75 +
+    # sampler.jl:30-37). The iterative reference Whitted drops
+    # differentials after specular bounces (sampler.jl:463,478), so only
+    # the primary hit consumes them.
+    diff = None
+    if scene.materials.has_textures:
+        fw = jnp.ones((n,))
+        sc = 1.0 / float(max(spp, 1)) ** 0.5
+        rx_o, rx_d = camera.generate_rays(CameraSample(
+            p_film=p_film + jnp.asarray([[1.0, 0.0]], jnp.float32),
+            lens=ps.lens, time=ps.time, filter_weight=fw))
+        ry_o, ry_d = camera.generate_rays(CameraSample(
+            p_film=p_film + jnp.asarray([[0.0, 1.0]], jnp.float32),
+            lens=ps.lens, time=ps.time, filter_weight=fw))
+        diff = RayDifferentials(
+            rx_o=o + (rx_o - o) * sc, rx_d=d + (rx_d - d) * sc,
+            ry_o=o + (ry_o - o) * sc, ry_d=d + (ry_d - d) * sc)
 
     lam4 = jnp.tile(jnp.asarray([list(_PREVIEW_LAM)], jnp.float32), (n, 1))
     L4 = jnp.zeros((n, 4))
@@ -217,7 +236,7 @@ def _whitted_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         t_max = jnp.full((n,), jnp.inf)
         rec = scene_closest_hit(scene, o, d, t_max, active=alive)
         hit = alive & rec.hit
-        sd = _surface_data(scene, rec, o, d)
+        sd = _surface_data(scene, rec, o, d, diff=diff if depth == 0 else None)
         wo = -d
         # two-sided shading like VolPath: face the shading normal to the viewer
         flip = dot(sd["ns"], d) > 0.0

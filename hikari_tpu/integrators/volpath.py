@@ -480,7 +480,31 @@ def _uv_screen_derivatives(camera, p, p0, p1, p2, uv0, uv1, uv2):
     z = jnp.abs(w2c.apply_point(p)[..., 2:3])
     dpdx = camera.camera_to_world.apply_vector(camera.dx_camera)[None, :] * z
     dpdy = camera.camera_to_world.apply_vector(camera.dy_camera)[None, :] * z
+    return _solve_duv(p0, p1, p2, uv0, uv1, uv2, dpdx, dpdy)
 
+
+def _uv_diff_derivatives(diff, p, ng, p0, p1, p2, uv0, uv1, uv2):
+    """TRUE ray-differential texture derivatives: transfer the +x / +y
+    auxiliary camera rays to the hit plane (p, ng) and solve the position
+    offsets against the triangle's dp/duv
+    (compute_differentials, /root/reference/src/surface_interaction.jl:136-174;
+    generated by generate_ray_differential, camera.jl:57-75)."""
+    rx_o, rx_d, ry_o, ry_d = diff.rx_o, diff.rx_d, diff.ry_o, diff.ry_d
+
+    def transfer(ro, rd):
+        den = jnp.sum(ng * rd, -1)
+        ok = jnp.abs(den) > 1e-12
+        t = jnp.sum((p - ro) * ng, -1) / jnp.where(ok, den, 1.0)
+        dp = ro + t[..., None] * rd - p
+        return jnp.where((ok & jnp.isfinite(t))[..., None], dp, 0.0)
+
+    return _solve_duv(p0, p1, p2, uv0, uv1, uv2,
+                      transfer(rx_o, rx_d), transfer(ry_o, ry_d))
+
+
+def _solve_duv(p0, p1, p2, uv0, uv1, uv2, dpdx, dpdy):
+    """Least-squares (duvdx, duvdy) from world-space footprint vectors and
+    the triangle's dp/duv (pbrt-v4 SurfaceInteraction::ComputeDifferentials)."""
     dp1 = p1 - p0
     dp2 = p2 - p0
     duv1 = uv1 - uv0
@@ -538,8 +562,13 @@ def _inst_xform_point(scene: SceneData, inst, p_obj):
     return jnp.einsum("...ij,...j->...i", m[..., :3], p_obj) + m[..., 3]
 
 
-def _surface_data(scene: SceneData, rec, o, d, camera=None):
+def _surface_data(scene: SceneData, rec, o, d, camera=None, diff=None):
     """Gather hit-point attributes. Returns dict of per-lane arrays.
+
+    diff: optional (rx_o, rx_d, ry_o, ry_d) TRUE ray differentials — when
+    given, texture-filter derivatives come from plane-transferring the
+    auxiliary rays (Whitted's primary hits, sampler.jl:30-37) instead of
+    the camera footprint approximation.
 
     TPU gathers cost per ADDRESS (~5 ms fixed at 640k lanes regardless of
     row width), so every per-face attribute — winding normal, three vertex
@@ -570,7 +599,7 @@ def _surface_data(scene: SceneData, rec, o, d, camera=None):
                          trows[..., 4:6])
         vcol = interpolate(rec.b1, rec.b2, trows[..., 6:9], trows[..., 9:12],
                            trows[..., 12:15])
-        if camera is not None:
+        if camera is not None or diff is not None:
             q0 = scene.bvh.p0[tri]
             q1 = scene.bvh.p1[tri]
             q2 = scene.bvh.p2[tri]
@@ -578,10 +607,16 @@ def _surface_data(scene: SceneData, rec, o, d, camera=None):
                 q0 = _inst_xform_point(scene, inst, q0)
                 q1 = _inst_xform_point(scene, inst, q1)
                 q2 = _inst_xform_point(scene, inst, q2)
-            duvdx, duvdy = _uv_screen_derivatives(
-                camera, p_hit, q0, q1, q2,
-                trows[..., 0:2], trows[..., 2:4], trows[..., 4:6],
-            )
+            if diff is not None:
+                duvdx, duvdy = _uv_diff_derivatives(
+                    diff, p_hit, ng_raw, q0, q1, q2,
+                    trows[..., 0:2], trows[..., 2:4], trows[..., 4:6],
+                )
+            else:
+                duvdx, duvdy = _uv_screen_derivatives(
+                    camera, p_hit, q0, q1, q2,
+                    trows[..., 0:2], trows[..., 2:4], trows[..., 4:6],
+                )
     else:
         uv = jnp.zeros(tri.shape + (2,), jnp.float32)
         vcol = jnp.ones(tri.shape + (3,), jnp.float32)

@@ -49,3 +49,65 @@ def test_level0_matches_plain_lookup():
                  duvdx=jnp.zeros((16, 2)), duvdy=jnp.zeros((16, 2)))
     tri = np.asarray(textured_lookup(a, tex, ctx))
     np.testing.assert_allclose(tri, plain, atol=1e-6)
+
+
+def test_true_ray_differentials_plane_transfer():
+    """_uv_diff_derivatives: transferring +x/+y aux rays to a unit-uv quad
+    recovers the exact world offsets mapped through dp/duv
+    (compute_differentials, surface_interaction.jl:136-174)."""
+    from hikari_tpu.core.ray import RayDifferentials
+    from hikari_tpu.integrators.volpath import _uv_diff_derivatives
+
+    # quad in z=0: uv (0,0)->(-1,-1), (1,0)->(1,-1), (0,1)->(-1,1)
+    p0 = jnp.asarray([[-1.0, -1.0, 0.0]])
+    p1 = jnp.asarray([[1.0, -1.0, 0.0]])
+    p2 = jnp.asarray([[-1.0, 1.0, 0.0]])
+    uv0 = jnp.asarray([[0.0, 0.0]])
+    uv1 = jnp.asarray([[1.0, 0.0]])
+    uv2 = jnp.asarray([[0.0, 1.0]])
+
+    o = jnp.asarray([[0.0, 0.0, -2.0]])
+    p = jnp.asarray([[0.2, -0.3, 0.0]])
+    ng = jnp.asarray([[0.0, 0.0, -1.0]])
+
+    def toward(target):
+        v = target - o
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    diff = RayDifferentials(
+        rx_o=o, rx_d=toward(p + jnp.asarray([[0.1, 0.0, 0.0]])),
+        ry_o=o, ry_d=toward(p + jnp.asarray([[0.0, 0.2, 0.0]])),
+    )
+    duvdx, duvdy = _uv_diff_derivatives(diff, p, ng, p0, p1, p2, uv0, uv1, uv2)
+    # dpdu = (2, 0, 0), dpdv = (0, 2, 0): du = dx/2, dv = dy/2
+    np.testing.assert_allclose(np.asarray(duvdx), [[0.05, 0.0]], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(duvdy), [[0.0, 0.1]], atol=1e-5)
+
+
+def test_whitted_textured_scene_runs_with_differentials():
+    """Whitted on a textured quad exercises the true-differential path
+    end-to-end and stays finite."""
+    import jax
+
+    from hikari_tpu.camera.camera import make_perspective_camera
+    from hikari_tpu.integrators.preview import Whitted, render_preview
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import Matte
+    from hikari_tpu.scene.mesh import make_quad
+    from hikari_tpu.scene.scene import Scene
+    from hikari_tpu.film.film import framebuffer
+    from hikari_tpu.textures.atlas import ImageTexture
+
+    img = ((np.indices((32, 32)).sum(0) % 2).astype(np.float32))
+    s = Scene()
+    s.add(make_quad((-2, -2, 0), (2, -2, 0), (2, 2, 0), (-2, 2, 0)),
+          Matte(kd=ImageTexture(image=np.stack([img] * 3, -1))))
+    s.add_light(PointLight(position=(0.0, 0.0, -3.0), intensity=(6.0,) * 3))
+    scene = s.build()
+    cam = make_perspective_camera((0, 0, -3.0), (0, 0, 0.0), (32, 32),
+                                  fov_deg=60.0)
+    film = render_preview(Whitted(max_depth=2, samples_per_pixel=1),
+                          scene, cam)
+    fb = np.asarray(framebuffer(film))
+    assert np.isfinite(fb).all()
+    assert (fb > 0).mean() > 0.5
