@@ -140,6 +140,8 @@ def run(res_px: int, n_iters: int):
     #              (README quickstart / sphere_normals_test.jl)
     #   cloud    - BOMEX-class procedural cloud, g=0.877, depth 32
     #              (bomex_cloud_example.jl stand-in)
+    #   mesh     - ~327k-tri displaced icosphere (scanned-asset stand-in,
+    #              BASELINE.md cat config)
     which = os.environ.get("BENCH_SCENE", "default")
     res = (res_px, res_px)
     depth = 5
@@ -166,6 +168,11 @@ def run(res_px: int, n_iters: int):
         depth = 32
     elif which == "materials":
         scene = build_materials_scene()
+        camera = make_perspective_camera(
+            (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
+        )
+    elif which == "mesh":
+        scene = build_mesh_scene()
         camera = make_perspective_camera(
             (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
         )
@@ -316,6 +323,88 @@ def build_cloud_scene():
     env, sun = sunsky_environment(direction=(0.5, 0.45, 0.3))
     s.add_light(env)
     s.add_light(sun)
+    return s.build()
+
+
+def _displaced_icosphere(subdiv: int, seed: int = 7):
+    """~20 * 4^subdiv-triangle organic mesh: an icosphere displaced by
+    multi-octave value noise. Scanned-mesh stand-in for the cat asset
+    (BASELINE.md / examples/cat_scene.jl:106-127): irregular curvature,
+    dense self-occluding folds, non-axis-aligned triangle distribution —
+    a BVH/occlusion profile no analytic sphere grid reproduces."""
+    t = (1.0 + 5.0 ** 0.5) / 2.0
+    v = np.asarray([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.asarray([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], np.int64)
+    for _ in range(subdiv):
+        n = len(v)
+        edges = {}
+        verts = [v]
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edges:
+                m = v[a] + v[b]
+                m /= np.linalg.norm(m)
+                edges[key] = n + len(edges)
+                verts.append(m[None])
+            return edges[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        v = np.concatenate(verts)
+        f = np.asarray(nf, np.int64)
+    # multi-octave value-noise displacement along the normal (organic folds)
+    rng = np.random.RandomState(seed)
+    disp = np.zeros(len(v))
+    for octv in range(4):
+        k = 2.0 ** octv
+        ph = rng.rand(3, 3) * 6.2832
+        amp = 0.18 / k
+        for ax in range(3):
+            disp += amp * np.sin(k * 3.1 * (v @ rng.rand(3)) + ph[ax, 0]) \
+                * np.cos(k * 2.3 * (v @ rng.rand(3)) + ph[ax, 1])
+    v = v * (1.0 + 0.35 * disp[:, None])
+    return v.astype(np.float32), f.astype(np.int32)
+
+
+def build_mesh_scene():
+    """Scanned-mesh-class benchmark (BASELINE.md cat config stand-in):
+    a ~327k-triangle displaced icosphere in the Cornell-walled bench
+    room, gold + matte materials, emissive panel + point light."""
+    from hikari_tpu.lights.types import PointLight
+    from hikari_tpu.materials.types import Emissive, Gold, Matte
+    from hikari_tpu.scene.mesh import TriangleMesh, make_quad
+    from hikari_tpu.scene.scene import Scene
+
+    s = Scene()
+    white = Matte(kd=(0.73, 0.73, 0.73))
+    s.add(make_quad((-3, 0, -1), (3, 0, -1), (3, 0, 5), (-3, 0, 5)), white)
+    s.add(make_quad((-3, 0, 5), (3, 0, 5), (3, 4, 5), (-3, 4, 5)), white)
+    s.add(make_quad((-3, 0, -1), (-3, 0, 5), (-3, 4, 5), (-3, 4, -1)),
+          Matte(kd=(0.65, 0.05, 0.05)))
+    s.add(make_quad((3, 0, -1), (3, 4, -1), (3, 4, 5), (3, 0, 5)),
+          Matte(kd=(0.12, 0.45, 0.15)))
+    v, f = _displaced_icosphere(7)           # 327,680 triangles
+    v = v * 0.9 + np.asarray([[0.0, 1.1, 2.0]], np.float32)
+    s.add(TriangleMesh(vertices=v, faces=f), Gold(roughness=0.2))
+    s.add(
+        make_quad((-1.0, 3.99, 1.0), (1.0, 3.99, 1.0), (1.0, 3.99, 3.0),
+                  (-1.0, 3.99, 3.0)),
+        Emissive(le=(1.0, 0.95, 0.85), scale=25.0),
+    )
+    s.add_light(PointLight(position=(0.0, 3.0, -0.5), intensity=(8.0,) * 3))
     return s.build()
 
 

@@ -99,9 +99,9 @@ def build_instanced_treelets(
         mats.append(a.astype(np.float32))
 
     n_world = sum(len(x) for x in obj_l)
-    assert n_world < (1 << 20), (
-        f"{n_world} world treelets exceed the 20-bit pair-metadata field; "
-        "reduce instance count or raise TREELET"
+    assert n_world <= TREELET_MASK, (
+        f"{n_world} world treelets exceed the {TILE_SHIFT}-bit "
+        "pair-metadata field; reduce instance count or raise TREELET"
     )
     return InstancedTreelets(
         lo=jnp.asarray(np.concatenate(lo_l)),
@@ -333,7 +333,7 @@ def closest_hit_instanced(
         os_s, ds_s, ts_s = os_[:sz], ds[:sz], ts[:sz]
         n_tiles = sz // RAY_TILE
         mask, tnear = tile_treelet_mask(os_s, ds_s, ts_s, tl, n_tiles)
-        meta, n_pairs = _build_pairs(mask, tnear)
+        meta, n_pairs, _seg = _build_pairs(mask, tnear)
         tnear_pair = _pair_tnear(meta, tnear, n_pairs)
 
         o4, d4 = _ray_blocks(os_s, ds_s)
@@ -393,7 +393,7 @@ def any_hit_instanced(tl, o, d, t_max, world_lo, world_hi, interpret=False,
         os_s, ds_s, ts_s = os_[:sz], ds[:sz], ts[:sz]
         n_tiles = sz // RAY_TILE
         mask, tnear = tile_treelet_mask(os_s, ds_s, ts_s, tl, n_tiles)
-        meta, n_pairs = _build_pairs(mask, tnear)
+        meta, n_pairs, _seg = _build_pairs(mask, tnear)
         tnear_pair = _pair_tnear(meta, tnear, n_pairs)
 
         o4, d4 = _ray_blocks(os_s, ds_s)

@@ -54,6 +54,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core.pytree import pytree_dataclass
 from .traverse import HitRecord
@@ -113,6 +114,23 @@ COMPACT_DEFAULT = _os.environ.get("HIKARI_COMPACT", "auto")
 # segment-AABB cull (endpoints-box treelet rejection for distance-capped
 # rays); HIKARI_SEGCULL=off disables for hardware A/Bs.
 SEGCULL = _os.environ.get("HIKARI_SEGCULL", "on") != "off"
+# sweep structure: 'tile' = one grid step per RAY TILE with an in-kernel
+# double-buffered while-loop over that tile's pair segment (no per-pair
+# Mosaic grid overhead; the front-to-back early-out BREAKS the loop
+# instead of paying a grid step per skipped pair); 'pairs' = the round-2
+# one-grid-step-per-pair sweep.
+SWEEP_MODE = _os.environ.get("HIKARI_SWEEP", "pairs")
+# t = -num/den in the sweep kernels: 'newton' = approximate VPU
+# reciprocal + one Newton-Raphson step (~2^-24 relative, epsilon-safe
+# for the hit test; the winner's exact t/u/v are recomputed post-sweep
+# anyway); 'div' = the plain f32 divide.
+RECIP = _os.environ.get("HIKARI_RECIP", "div")
+# reversed NEE shadow rays: occlusion over an open segment is symmetric,
+# and rays traced FROM the sampled light point toward the surface form
+# shared-origin, direction-sorted packets (one octant per tile, tight
+# frusta) where the surface->light direction converges from everywhere
+# (mixed signs per axis void the slab bound; only SEGCULL survives).
+SHADOW_REV = _os.environ.get("HIKARI_SHADOW_REV", "off") == "on"
 # front-to-back early-out (per-pair conservative entry distance vs the
 # tile's worst unresolved t) and the direction-independent L2 entry
 # bound; =off disables for compiled-vs-interpret divergence bisection.
@@ -436,12 +454,14 @@ def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
 def _build_pairs(mask, tnear):
     """Compact the (n_tiles, T) cull mask into a dense pair list.
 
-    Returns (meta, n_pairs): meta is (P,) int32, tile << 16 | treelet,
-    tile-major with treelets in *exact* per-tile front-to-back order (by
-    the cull pass's conservative entry distance) so the sweep kernels'
-    early-outs fire as soon as possible; entries past n_pairs repeat the
-    last real pair (sweeping a pair twice is idempotent, so padding steps
-    are harmless)."""
+    Returns (meta, n_pairs, seg): meta is (P,) int32, tile << 16 |
+    treelet, tile-major with treelets in *exact* per-tile front-to-back
+    order (by the cull pass's conservative entry distance) so the sweep
+    kernels' early-outs fire as soon as possible; entries past n_pairs
+    repeat the last real pair (sweeping a pair twice is idempotent, so
+    padding steps are harmless). seg is (n_tiles + 1,) int32 — tile i's
+    pairs occupy meta[seg[i]:seg[i+1]] (the tile-resident sweep loops
+    each tile's segment in-kernel)."""
     n_tiles, T = mask.shape
     assert n_tiles <= MAX_TILES, (
         f"{n_tiles} ray tiles exceeds the {MAX_TILES}-tile pair-meta field "
@@ -453,6 +473,9 @@ def _build_pairs(mask, tnear):
     tile_ids = jnp.broadcast_to(
         jnp.arange(n_tiles, dtype=jnp.int32)[:, None], (n_tiles, T))
     meta = (tile_ids << TILE_SHIFT) | srt
+    counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+    seg = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
     flat_alive = alive.reshape(-1)
     flat_meta = meta.reshape(-1)
     P = n_tiles * T
@@ -462,7 +485,7 @@ def _build_pairs(mask, tnear):
     out = jnp.zeros((P,), jnp.int32).at[dst].set(flat_meta, mode="drop")
     last = out[jnp.maximum(n_pairs - 1, 0)]
     out = jnp.where(jnp.arange(P) < n_pairs, out, last)
-    return out, n_pairs
+    return out, n_pairs, seg
 
 
 # --- the Pallas pair-sweep kernels ------------------------------------------------------
@@ -477,7 +500,17 @@ def _bw_block(a6, d6, m6):
     md = jax.lax.dot_general(d6, m6, dims, preferred_element_type=jnp.float32)
     num, au, av = mo[:, :TREELET], mo[:, TREELET:2 * TREELET], mo[:, 2 * TREELET:]
     den, bu, bv = md[:, :TREELET], md[:, TREELET:2 * TREELET], md[:, 2 * TREELET:]
-    t = -num / jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+    den_safe = jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+    if RECIP == "newton":
+        # approximate VPU reciprocal + one Newton step: ~2^-24 relative,
+        # far below the kernel's own 2^-16 t quantization and the post-
+        # sweep exact per-lane resolve; the f32 divide is the single most
+        # expensive op in the VPU epilogue
+        r = pl.reciprocal(den_safe, approx=True)
+        r = r * (2.0 - den_safe * r)
+        t = -num * r
+    else:
+        t = -num / den_safe
     u = au + t * bu
     v = av + t * bv
     return t, u, v, den
@@ -692,6 +725,202 @@ def _sweep_chunks(kernel, meta, n_pairs, tnear_pair, a6, d6, carry_in,
     return carry
 
 
+# --- tile-resident sweep: one grid step per RAY TILE ---------------------------------
+#
+# The pair-grid sweep pays a fixed Mosaic step cost per (tile, treelet)
+# pair — scalar fetches, index-map evaluation, block bookkeeping — that
+# round-2 profiling put at ~3 us even for pairs the kernel skips. Here
+# the grid is the TILE axis (ray block + carries stay resident in VMEM
+# for the whole segment) and the kernel walks its pair segment with a
+# lax.while_loop, double-buffering the (24, 3TT) treelet matrices
+# HBM->VMEM with explicit DMAs. The front-to-back early-out becomes the
+# loop CONDITION: the first unbeatable treelet ends the tile's sweep
+# outright (the pair grid still paid a step per skipped pair).
+
+
+def _closest_tiles_kernel(tre_ref, tn_ref, seg_ref, a6_ref, d6_ref,
+                          key_i_ref, tr_i_ref, bw_hbm,
+                          key_ref, tr_ref, bw_buf, sem, thr_ref):
+    i = pl.program_id(0)
+    start = seg_ref[i]
+    end = seg_ref[i + 1]
+    key_ref[0] = key_i_ref[0]
+    tr_ref[0] = tr_i_ref[0]
+    # rounded-up threshold in SMEM so the loop condition is a scalar read
+    thr_ref[0] = jnp.max(key_i_ref[0] | COL_MASK)
+
+    def dma(slot, p):
+        return pltpu.make_async_copy(
+            bw_hbm.at[tre_ref[p]], bw_buf.at[slot], sem.at[slot])
+
+    @pl.when(start < end)
+    def _():
+        dma(0, start).start()
+
+    def cond(p):
+        return (p < end) & (tn_ref[p] < thr_ref[0])
+
+    def body(p):
+        slot = jax.lax.rem(p - start, 2)
+
+        @pl.when(p + 1 < end)
+        def _():
+            dma(1 - slot, p + 1).start()
+
+        dma(slot, p).wait()
+        t, u, v, den = _bw_block(a6_ref[:], d6_ref[:], bw_buf[slot])
+        eps = 1e-6
+        hit = (
+            (jnp.abs(den) > 1e-20)
+            & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
+            & (t > 1e-4)
+        )
+        t_cand = jnp.where(hit, t, 3.0e38)
+        bits = jax.lax.bitcast_convert_type(t_cand, jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1)
+        key = (bits & ~COL_MASK) | cols
+        key_new = jnp.min(key, axis=-1, keepdims=True)
+        better = key_new < key_ref[0]
+        key_ref[0] = jnp.where(better, key_new, key_ref[0])
+        tr_ref[0] = jnp.where(better, tre_ref[p], tr_ref[0])
+        thr_ref[0] = jnp.max(key_ref[0] | COL_MASK)
+        return p + 1
+
+    p_exit = jax.lax.while_loop(cond, body, start)
+
+    # drain the in-flight prefetch when the threshold broke the loop
+    # early (a started DMA must be awaited before the kernel returns)
+    @pl.when(p_exit < end)
+    def _():
+        dma(jax.lax.rem(p_exit - start, 2), p_exit).wait()
+
+
+def _occlusion_tiles_kernel(tre_ref, tn_ref, seg_ref, a6_ref, d6_ref,
+                            tmax_ref, occ_i_ref, bw_hbm,
+                            occ_ref, bw_buf, sem, thr_ref):
+    i = pl.program_id(0)
+    start = seg_ref[i]
+    end = seg_ref[i + 1]
+    occ_ref[0] = occ_i_ref[0]
+    # reach of the farthest unresolved lane; once every lane is occluded
+    # this becomes bits(0.0) = 0 and the loop breaks at the next pair
+    thr_ref[0] = jnp.max(jax.lax.bitcast_convert_type(
+        jnp.where(occ_i_ref[0] == 0, tmax_ref[0], 0.0), jnp.int32))
+
+    def dma(slot, p):
+        return pltpu.make_async_copy(
+            bw_hbm.at[tre_ref[p]], bw_buf.at[slot], sem.at[slot])
+
+    @pl.when(start < end)
+    def _():
+        dma(0, start).start()
+
+    def cond(p):
+        return (p < end) & (tn_ref[p] < thr_ref[0])
+
+    def body(p):
+        slot = jax.lax.rem(p - start, 2)
+
+        @pl.when(p + 1 < end)
+        def _():
+            dma(1 - slot, p + 1).start()
+
+        dma(slot, p).wait()
+        t, u, v, den = _bw_block(a6_ref[:], d6_ref[:], bw_buf[slot])
+        eps = 1e-6
+        hit = (
+            (jnp.abs(den) > 1e-20)
+            & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
+            & (t > 1e-4) & (t < tmax_ref[0])
+        )
+        occ_ref[0] = occ_ref[0] | jnp.any(
+            hit, axis=-1, keepdims=True).astype(jnp.int32)
+        thr_ref[0] = jnp.max(jax.lax.bitcast_convert_type(
+            jnp.where(occ_ref[0] == 0, tmax_ref[0], 0.0), jnp.int32))
+        return p + 1
+
+    p_exit = jax.lax.while_loop(cond, body, start)
+
+    @pl.when(p_exit < end)
+    def _():
+        dma(jax.lax.rem(p_exit - start, 2), p_exit).wait()
+
+
+def _sweep_tiles(kernel, meta, seg, tnear_pair, a6, d6, carry_in,
+                 extra_inputs, tl, n_tiles, interpret):
+    """Run the tile-resident sweep: grid over ray tiles, chunked along the
+    TILE axis so each call's scalar-prefetch pair slice stays bounded by
+    PAIR_CHUNK. Tiles are disjoint across chunks (per-tile carries never
+    cross calls, unlike the pair-grid chunking)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = tl.lo.shape[0]
+    P = meta.shape[0]
+    tre = meta & TREELET_MASK
+    tnear_bits = jax.lax.bitcast_convert_type(tnear_pair, jnp.int32)
+    # per-chunk tile count: c tiles can own at most c*T pairs
+    c = max(1, min(n_tiles, PAIR_CHUNK // T))
+    S = min(P, c * T)  # static pair-slice size per chunk
+
+    n_carry = len(carry_in)
+
+    def st(x):  # (n_pad,) -> (n_tiles, RAY_TILE, 1)
+        return x.reshape(n_tiles, RAY_TILE, 1)
+
+    carry_full = [st(x) for x in carry_in]
+    extra_full = [st(x) for x in extra_inputs]
+    outs = []
+    for t0 in range(0, n_tiles, c):
+        cj = min(c, n_tiles - t0)
+        # rebase this chunk's segment table and slice its pair window
+        seg_j = jax.lax.dynamic_slice(seg, (t0,), (cj + 1,))
+        base = seg_j[0]
+        seg_local = seg_j - base
+        tre_j = jax.lax.dynamic_slice(tre, (jnp.minimum(base, P - S),), (S,))
+        tn_j = jax.lax.dynamic_slice(
+            tnear_bits, (jnp.minimum(base, P - S),), (S,))
+        # dynamic_slice clamps its start to P - S: rebase again so
+        # seg_local indexes the slice correctly even when clamped
+        seg_local = seg_local + (base - jnp.minimum(base, P - S))
+
+        state_spec = lambda: pl.BlockSpec(
+            (1, RAY_TILE, 1), lambda i, tre_, tn_, seg_: (t0 + i, 0, 0))
+        ray_spec = lambda: pl.BlockSpec(
+            (RAY_TILE, 24), lambda i, tre_, tn_, seg_: (t0 + i, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(cj,),
+            in_specs=(
+                [ray_spec(), ray_spec()]
+                + [state_spec() for _ in extra_inputs]
+                + [state_spec() for _ in range(n_carry)]
+                + [pl.BlockSpec(memory_space=pl.ANY)]
+            ),
+            out_specs=[
+                pl.BlockSpec((1, RAY_TILE, 1),
+                             lambda i, tre_, tn_, seg_: (i, 0, 0))
+                for _ in range(n_carry)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 24, 3 * TREELET), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        )
+        out_shape = [jax.ShapeDtypeStruct((cj, RAY_TILE, 1), x.dtype)
+                     for x in carry_in]
+        outs.append(pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(tre_j, tn_j, seg_local, a6, d6, *extra_full, *carry_full, tl.bw))
+    if len(outs) == 1:
+        return tuple(outs[0])
+    return tuple(jnp.concatenate([o[k] for o in outs])
+                 for k in range(n_carry))
+
+
 def _world_exit_clamp(o, d, t_max, world_lo, world_hi):
     """No triangle lies beyond the world box, so cap each ray's initial
     best-t at its box exit distance: lanes that escape the scene then stop
@@ -791,20 +1020,25 @@ def closest_hit_packets(
         n_tiles = sz // RAY_TILE
         a6, d6 = _ray_matrices(os_s, ds_s)
 
-        def sweep(meta, n_pairs, tnear, carry_in):
+        def sweep(meta, n_pairs, seg, tnear, carry_in):
             tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
             if not EARLYOUT:  # bits(0)=0 < any threshold: never skip
                 tnear_pair = jnp.zeros_like(tnear_pair)
-            key, tr = _sweep_chunks(
-                _closest_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6,
-                carry_in, [], tl, n_tiles, interpret)
+            if SWEEP_MODE == "tile":
+                key, tr = _sweep_tiles(
+                    _closest_tiles_kernel, meta, seg, tnear_pair, a6, d6,
+                    carry_in, [], tl, n_tiles, interpret)
+            else:
+                key, tr = _sweep_chunks(
+                    _closest_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6,
+                    carry_in, [], tl, n_tiles, interpret)
             return key.reshape(-1), tr.reshape(-1)
 
         if band is None:
             mask, tnear = tile_treelet_mask(os_s, ds_s, ts_s, tl, n_tiles)
-            meta, n_pairs = _build_pairs(mask, tnear)
+            meta, n_pairs, seg = _build_pairs(mask, tnear)
             carry_in = (keyify(ts_s), jnp.full((sz,), -1, jnp.int32))
-            key, tr = sweep(meta, n_pairs, tnear, carry_in)
+            key, tr = sweep(meta, n_pairs, seg, tnear, carry_in)
         else:
             # Banded two-pass sweep: pass 1 caps every lane's reach at
             # `band`, which bounds the per-tile early-out threshold at
@@ -820,16 +1054,16 @@ def closest_hit_packets(
             band_t = jnp.asarray(band, jnp.float32)
             ts1 = jnp.minimum(ts_s, band_t)
             mask1, tnear1 = tile_treelet_mask(os_s, ds_s, ts1, tl, n_tiles)
-            meta1, n_pairs1 = _build_pairs(mask1, tnear1)
-            key1, tr1 = sweep(meta1, n_pairs1, tnear1,
+            meta1, n_pairs1, seg1 = _build_pairs(mask1, tnear1)
+            key1, tr1 = sweep(meta1, n_pairs1, seg1, tnear1,
                               (keyify(ts1), jnp.full((sz,), -1, jnp.int32)))
             # final after pass 1: found a hit, or had nothing beyond cap
             done = (tr1 >= 0) | (ts_s <= band_t)
             ts2 = jnp.where(done, 0.0, ts_s)
             mask2, tnear2 = tile_treelet_mask(os_s, ds_s, ts2, tl, n_tiles)
-            meta2, n_pairs2 = _build_pairs(mask2, tnear2)
+            meta2, n_pairs2, seg2 = _build_pairs(mask2, tnear2)
             key0_2 = jnp.where(done, key1, keyify(ts_s))
-            key, tr = sweep(meta2, n_pairs2, tnear2, (key0_2, tr1))
+            key, tr = sweep(meta2, n_pairs2, seg2, tnear2, (key0_2, tr1))
 
         t_res, b1, b2, tri = _resolve_hits(tl, key, tr, os_s, ds_s)
         pad = n_pad - sz
@@ -854,9 +1088,11 @@ def closest_hit_packets(
     return HitRecord(hit=tri >= 0, t=t_res, tri=tri, b1=b1, b2=b2)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "compact"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "compact", "reverse"))
 def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
-                    active=None, group=None, compact: bool | None = None):
+                    active=None, group=None, compact: bool | None = None,
+                    reverse: bool | None = None):
     """Occlusion-only pair sweep; front-to-back order plus the all-lanes-
     resolved early-out make shadow rays the cheap half of the frame.
 
@@ -865,12 +1101,25 @@ def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
     form single-target tiles whose frusta cull ~4x better than
     light-mixed tiles.
 
-    compact: live-lane static-prefix cascade, as in closest_hit_packets."""
+    compact: live-lane static-prefix cascade, as in closest_hit_packets.
+
+    reverse: trace each segment from its FAR endpoint back toward the
+    origin (occlusion is symmetric). For NEE rays whose far ends sit on
+    a few sampled light points this turns converging mixed-sign packets
+    into diverging shared-origin ones; see SHADOW_REV. The far end
+    (formerly the light) is protected by the kernels' absolute t > 1e-4
+    epsilon, the near end by the same 0.9999 reach shave as before."""
     if compact is None:
         compact = (not interpret) and COMPACT_DEFAULT != "off"
-    t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37) * 0.9999
+    if reverse is None:
+        reverse = SHADOW_REV
+    t_max = jnp.where(jnp.isfinite(t_max), t_max, 3.0e37)
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
+    if reverse:
+        o = o + d * t_max[..., None]
+        d = -d
+    t_max = t_max * 0.9999
     if group is not None:
         group = jnp.concatenate(
             [group, jnp.zeros((-len(group)) % RAY_TILE, group.dtype)])
@@ -890,15 +1139,22 @@ def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
         os_s, ds_s, ts_s = os_[:sz], ds[:sz], ts[:sz]
         n_tiles = sz // RAY_TILE
         mask, tnear = tile_treelet_mask(os_s, ds_s, ts_s, tl, n_tiles)
-        meta, n_pairs = _build_pairs(mask, tnear)
+        meta, n_pairs, seg = _build_pairs(mask, tnear)
         tnear_pair = tnear[meta >> TILE_SHIFT, meta & TREELET_MASK]
+        if not EARLYOUT:
+            tnear_pair = jnp.zeros_like(tnear_pair)
 
         a6, d6 = _ray_matrices(os_s, ds_s)
         occ0 = (ts_s <= 0.0).astype(jnp.int32)
 
-        (occ,) = _sweep_chunks(
-            _occlusion_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6,
-            (occ0,), [ts_s], tl, n_tiles, interpret)
+        if SWEEP_MODE == "tile":
+            (occ,) = _sweep_tiles(
+                _occlusion_tiles_kernel, meta, seg, tnear_pair, a6, d6,
+                (occ0,), [ts_s], tl, n_tiles, interpret)
+        else:
+            (occ,) = _sweep_chunks(
+                _occlusion_pairs_kernel, meta, n_pairs, tnear_pair, a6, d6,
+                (occ0,), [ts_s], tl, n_tiles, interpret)
         occ = occ.reshape(-1)
         pad = n_pad - sz
         if pad:  # beyond-prefix lanes are dead: unoccluded

@@ -70,7 +70,7 @@ def main():
         keys = jnp.where(t_ > 0.0, keys, jnp.uint32(0xFFFFFFFF))
         order, os_, ds, ts = wf._sort_wavefront(o_, d_, t_, keys)
         mask, tnear = wf.tile_treelet_mask(os_, ds, ts, tl, n_pad // wf.RAY_TILE)
-        meta, npairs = wf._build_pairs(mask, tnear)
+        meta, npairs, _seg = wf._build_pairs(mask, tnear)
         return npairs
 
     def closest(o, d, t, a):

@@ -64,7 +64,7 @@ def main():
         order, os_, ds, ts = wf._sort_wavefront(o_, d_, t_, keys)
         mask, tnear = wf.tile_treelet_mask(os_, ds, ts, tl,
                                            n_pad // wf.RAY_TILE)
-        meta, npairs = wf._build_pairs(mask, tnear)
+        meta, npairs, _seg = wf._build_pairs(mask, tnear)
         tnear_pair = tnear[meta >> wf.TILE_SHIFT, meta & wf.TREELET_MASK]
         a6, d6 = wf._ray_matrices(os_, ds)
         return meta, npairs, tnear_pair, a6, d6, ts, n_pad

@@ -117,7 +117,7 @@ def main():
     def cull(o, d, t):
         n_tiles = n // wf.RAY_TILE
         mask, tnear = wf.tile_treelet_mask(o, d, t, tl, n_tiles)
-        meta, n_pairs = wf._build_pairs(mask, tnear)
+        meta, n_pairs, _seg = wf._build_pairs(mask, tnear)
         return meta.sum() + n_pairs
 
     def raymats(o, d, t):

@@ -23,4 +23,7 @@ run consistency python -u tools/check_tpu_consistency.py
 run bench_default python -u bench.py
 run bench_samp4 env BENCH_SAMP_BATCH=4 python -u bench.py
 run bench_samp1 env BENCH_SAMP_BATCH=1 python -u bench.py
+# fresh per-stage profile at the new HEAD (VERDICT r3 item 7)
+run prof_step python -u tools/prof_step.py
+run prof_closest python -u tools/prof_closest_mini.py
 echo "phase2 done; logs in $OUT"
