@@ -197,7 +197,7 @@ def run(res_px: int, n_iters: int):
     # wavefront of K*w*h lanes: per-op fixed overhead on (8, 128, T) blocks
     # amortizes over more live work (PERF.md round-1 treelet sweep), at the
     # cost of K x the path-state memory.
-    ksamp = int(os.environ.get("BENCH_SAMP_BATCH", "2"))
+    ksamp = int(os.environ.get("BENCH_SAMP_BATCH", "4"))
     if ksamp > 1:
         px = jnp.tile(px, ksamp)
         py = jnp.tile(py, ksamp)
@@ -521,7 +521,7 @@ def main():
                 "treelet": _wf.TREELET,
                 "ray_tile": _wf.RAY_TILE,
                 "band_frac": _wf.BAND_FRAC,
-                "samp_batch": int(os.environ.get("BENCH_SAMP_BATCH", "2")),
+                "samp_batch": int(os.environ.get("BENCH_SAMP_BATCH", "4")),
                 "coherence": os.environ.get("BENCH_COHERENCE", "none"),
                 "fallback": fallback,
                 "transport_check": transport,

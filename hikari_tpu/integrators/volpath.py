@@ -154,10 +154,12 @@ class VolPath:
     seed: int = 0
     material_coherence: str = "none"  # 'none' | 'gated' | 'sorted'
     # K consecutive samples dispatched as one K*w*h-lane wavefront: per-op
-    # fixed cost amortizes (+9% at K=2 on the v5e bench), K x state memory.
-    # Default 2 since the round-3 idle-host A/B (PERF.md phase-5: 2.897 vs
-    # 2.650 Mray/s); K=4 exceeds the TPU backend's program limits at 800^2.
-    sample_batch: int = 2
+    # fixed cost amortizes, K x state memory. Default 4 since the round-4
+    # phase-2 same-session ladder (PERF.md: 2.918 / 3.070 / 3.261 Mray/s
+    # at K = 1 / 2 / 4, 800^2 v5e; K=4 became legal once the int32
+    # pair-meta tile-field overflow was fixed -- round 3 misread that
+    # crash as a TPU program-size limit).
+    sample_batch: int = 4
     resident: str = "auto"  # 'on' | 'off' | 'auto'
     resident_levels: int = 0  # 0 = auto
     # nee=False disables next-event estimation: light arrives only via
