@@ -119,12 +119,12 @@ SEGCULL = _os.environ.get("HIKARI_SEGCULL", "on") != "off"
 # Mosaic grid overhead; the front-to-back early-out BREAKS the loop
 # instead of paying a grid step per skipped pair); 'pairs' = the round-2
 # one-grid-step-per-pair sweep.
-SWEEP_MODE = _os.environ.get("HIKARI_SWEEP", "pairs")
+SWEEP_MODE = _os.environ.get("HIKARI_SWEEP", "tile")
 # t = -num/den in the sweep kernels: 'newton' = approximate VPU
 # reciprocal + one Newton-Raphson step (~2^-24 relative, epsilon-safe
 # for the hit test; the winner's exact t/u/v are recomputed post-sweep
 # anyway); 'div' = the plain f32 divide.
-RECIP = _os.environ.get("HIKARI_RECIP", "div")
+RECIP = _os.environ.get("HIKARI_RECIP", "newton")
 # reversed NEE shadow rays: occlusion over an open segment is symmetric,
 # and rays traced FROM the sampled light point toward the surface form
 # shared-origin, direction-sorted packets (one octant per tile, tight

@@ -27,6 +27,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import partial
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -158,8 +160,10 @@ class VolPath:
     # phase-2 same-session ladder (PERF.md: 2.918 / 3.070 / 3.261 Mray/s
     # at K = 1 / 2 / 4, 800^2 v5e; K=4 became legal once the int32
     # pair-meta tile-field overflow was fixed -- round 3 misread that
-    # crash as a TPU program-size limit).
-    sample_batch: int = 4
+    # crash as a TPU program-size limit). HIKARI_SAMPLE_BATCH overrides
+    # the default: the CPU test suite pins 1 so every render test isn't
+    # 4x the lanes to compile (test_jit_compat covers K>1 explicitly).
+    sample_batch: int = int(_os.environ.get("HIKARI_SAMPLE_BATCH", "4"))
     resident: str = "auto"  # 'on' | 'off' | 'auto'
     resident_levels: int = 0  # 0 = auto
     # nee=False disables next-event estimation: light arrives only via

@@ -7,6 +7,11 @@ jax.config.update after import — before any computation runs.
 
 import os
 
+# tests at sample_batch=1: the shipping default of 4 would make every
+# volpath render test compile a 4x-lane wavefront on the single-core CPU
+# host; test_jit_compat::test_sample_batch_matches_sequential covers K>1
+os.environ.setdefault("HIKARI_SAMPLE_BATCH", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

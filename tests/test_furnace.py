@@ -7,6 +7,11 @@ estimator must make up exactly the missing light. Reference behavior:
 """
 
 import jax
+
+import pytest
+
+# compile-heavy integration renders: full tier only
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 import numpy as np
 

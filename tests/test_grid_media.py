@@ -1,6 +1,7 @@
 """Grid media: DDA majorants, RGBGridMedium, procedural clouds."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,6 +113,7 @@ def test_rgb_grid_medium():
     assert est[0] > 2.0 * est[3], est  # blue transmits much more than red
 
 
+@pytest.mark.slow
 def test_cloud_volume_render():
     from hikari_tpu.camera.camera import make_perspective_camera
     from hikari_tpu.film.film import framebuffer
@@ -136,6 +138,7 @@ def test_cloud_volume_render():
     assert img.max() > 0.01
 
 
+@pytest.mark.slow
 def test_thick_medium_transmittance_accuracy():
     """Optically thick absorbing grid: delta tracking inside
     MAX_TRACK_STEPS must reproduce exp(-tau) (no step-cap truncation bias)
@@ -208,6 +211,7 @@ def test_stochastic_trilinear_is_unbiased():
     assert float(stoch.max()) <= float(dens.max()) + 1e-6
 
 
+@pytest.mark.slow
 def test_track_step_cap_bomex_class():
     """BOMEX-class cloud (sigma_s=60, g=0.877, the bench `cloud` config):
     512 tracking steps must agree with the reference's 1024-sample budget
@@ -265,6 +269,7 @@ def test_track_step_cap_bomex_class():
     assert np.abs(tr5 - tr10).max() < 1e-3, np.abs(tr5 - tr10).max()
 
 
+@pytest.mark.slow
 def test_alpha_stack_beyond_rounds_cap():
     """20 stacked alpha=0.3 layers over the WHOLE floor vs a sheet-free
     control render: the interface-crossing cap must not visibly truncate

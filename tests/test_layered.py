@@ -1,6 +1,7 @@
 """LayeredBxDF tests: coated diffuse / coated conductor walks."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,6 +118,7 @@ def test_coated_eval_nonzero_rough_top():
     assert f.mean() < 2.0
 
 
+@pytest.mark.slow
 def test_coated_diffuse_render():
     from hikari_tpu.camera.camera import make_perspective_camera
     from hikari_tpu.film.film import framebuffer
@@ -239,6 +241,7 @@ def test_cdt_eval_both_hemispheres():
         assert float(np.asarray(pdf).mean()) > 1e-3, label
 
 
+@pytest.mark.slow
 def test_cdt_backlit_render():
     """A backlit CDT panel transmits light to a camera on the dark side
     (the leaf/lampshade use case)."""

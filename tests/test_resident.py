@@ -10,6 +10,11 @@ cascade's untouched-suffix carry and the non-tile-multiple padding path.
 """
 
 import numpy as np
+
+import pytest
+
+# compile-heavy integration renders: full tier only
+pytestmark = pytest.mark.slow
 import pytest
 
 from hikari_tpu.camera.camera import make_perspective_camera

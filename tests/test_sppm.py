@@ -2,6 +2,11 @@
 
 import numpy as np
 
+import pytest
+
+# compile-heavy integration renders: full tier only
+pytestmark = pytest.mark.slow
+
 from hikari_tpu.camera.camera import make_perspective_camera
 from hikari_tpu.integrators.sppm import SPPM, render_sppm
 from hikari_tpu.lights.types import PointLight
