@@ -62,11 +62,14 @@ from .traverse import HitRecord
 import os as _os
 
 # rays per packet (sublane rows x 128 lanes); overridable for perf sweeps.
-# Default 512: hardware A/B (PERF.md phase-6, idle host) measured 2.695
-# Mray/s at 512 vs 2.650 at 1024 on the default bench — tighter per-tile
-# frusta beat the per-op overhead at this size. 256 fails to compile on
-# the TPU backend (Mosaic internal error).
-RAY_TILE = int(_os.environ.get("HIKARI_RAY_TILE", "512"))
+# Default 1024: under the tile-resident sweep the round-4 phase-4 A/B
+# (idle host, same session) measured 4.03 Mray/s at 1024 vs 3.88 at 512 —
+# with the per-pair grid overhead gone, halving the tile count (fewer
+# while-loop segments, fewer DMA chains) beats the tighter 512-ray
+# frusta. (The old pair-grid sweep preferred 512: PERF.md phase-6
+# measured 2.695 at 512 vs 2.650 at 1024.) 256 fails to compile on the
+# TPU backend (Mosaic internal error).
+RAY_TILE = int(_os.environ.get("HIKARI_RAY_TILE", "1024"))
 LANES = 128
 ROWS = RAY_TILE // LANES
 # triangles per treelet (TT); overridable for perf sweeps

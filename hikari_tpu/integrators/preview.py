@@ -100,16 +100,20 @@ def _fit_preview_rgb_m(np):
 _PREVIEW_RGB_M = None
 
 
-def _direct_light_rgb(scene: SceneData, p, ns, albedo, u2, active):
+def _direct_light_rgb(scene: SceneData, p, ns, albedo, ul, u2, active):
     """One-sample direct lighting with hard shadows (fast_shade_primary!).
 
     Fixed hero wavelengths; the spectral light sample is converted to
     display RGB through the same CIE pipeline as VolPath so magnitudes
-    match the reference integrator."""
+    match the reference integrator.
+
+    ul is a dedicated 1d uniform for light selection — reusing u2[...,0]
+    for both selection and the light position sample makes that coordinate
+    non-uniform conditioned on the selected light (same fix as
+    _direct_light_bsdf)."""
     n = p.shape[0]
     if scene.n_lights == 0:
         return jnp.zeros((n, 3))
-    ul = u2[..., 0]
     li_flat, pmf = lt.sample_light_index(scene.lights, ul)
     ltype = scene.lights.light_type[li_flat]
     lidx = scene.lights.light_idx[li_flat]
@@ -331,10 +335,11 @@ def _preview_lanes(scene, camera, sample_idx, spp, seed, n_bounces):
         )
         spec = _is_specular_type(sd["mat_type"]) | cond_smooth
         diffuse_hit = hit & ~spec & ~is_emit
-        u2 = jnp.stack(sb.path_sample_2d(zcfg, px, py,
-                                         jnp.broadcast_to(sample_idx, (n,)),
-                                         depth, 0), -1)
-        direct = _direct_light_rgb(scene, sd["p"], sd["ns"], albedo, u2, diffuse_hit)
+        si_b = jnp.broadcast_to(sample_idx, (n,))
+        u2 = jnp.stack(sb.path_sample_2d(zcfg, px, py, si_b, depth, 0), -1)
+        ul = sb.path_sample_1d(zcfg, px, py, si_b, depth, 10)
+        direct = _direct_light_rgb(scene, sd["p"], sd["ns"], albedo, ul, u2,
+                                   diffuse_hit)
         rgb = rgb + tint * direct
 
         # specular continuation with one-sample Fresnel branch selection

@@ -95,8 +95,9 @@ def _visible_points(scene, camera, zcfg, sample_idx, max_depth):
         u2 = jnp.stack(
             sb.path_sample_2d(zcfg, px, py, si, depth, 0), -1
         )
+        ul = sb.path_sample_1d(zcfg, px, py, si, depth, 10)
         direct = direct + beta * _direct_light_rgb(
-            scene, sd["p"], ns, albedo, u2, diffuse
+            scene, sd["p"], ns, albedo, ul, u2, diffuse
         )
 
         cont = hit & spec
