@@ -65,23 +65,53 @@ def build_scene():
     return s.build()
 
 
-def transport_probe(scene):
-    """64x64, depth-5, 1-spp render of the default bench scene: the
-    phase-7 transport invariants (rays_traced + mean framebuffer RGB).
-    Run on CPU by tools/gen_transport_ref.py to produce the reference;
-    run on the chip by check_transport() before every timed bench."""
+# scene registry: builder, camera (eye, look_at, fov), VolPath depth, and
+# the transport-probe config (res, depth — small enough that the CPU
+# reference generation stays minutes, not hours)
+SCENE_DEFS = {
+    "default": ("build_scene", ((0.0, 1.6, -2.8), (0.0, 0.9, 2.0), 45.0),
+                5, (64, 5)),
+    "fog": ("build_fog_scene", ((0.0, 1.0, -2.6), (0.0, 1.0, 1.0), 50.0),
+            5, (64, 5)),
+    "triangle": ("build_triangle_scene",
+                 ((0.0, 0.3, -2.2), (0.0, 0.3, 0.0), 45.0), 5, (64, 5)),
+    "sphere": ("build_sphere_scene",
+               ((0.0, 1.0, -3.2), (0.0, 0.5, 0.0), 45.0), 5, (64, 5)),
+    "cloud": ("build_cloud_scene",
+              ((0.0, 0.7, -3.0), (0.0, 0.9, 0.0), 50.0), 32, (32, 12)),
+    "materials": ("build_materials_scene",
+                  ((0.0, 1.6, -2.8), (0.0, 0.9, 2.0), 45.0), 5, (64, 5)),
+    "mesh": ("build_mesh_scene", ((0.0, 1.6, -2.8), (0.0, 0.9, 2.0), 45.0),
+             5, (64, 5)),
+}
+
+
+def scene_setup(which: str, res_px: int):
+    """(scene, camera, depth) for a registry entry at res_px**2."""
+    from hikari_tpu.camera.camera import make_perspective_camera
+
+    builder, (eye, at, fov), depth, _probe = SCENE_DEFS[which]
+    scene = globals()[builder]()
+    camera = make_perspective_camera(eye, at, (res_px, res_px), fov_deg=fov)
+    return scene, camera, depth
+
+
+def transport_probe(scene, which: str = "default"):
+    """Small 1-spp render of a bench scene: the phase-7 transport
+    invariants (rays_traced + mean framebuffer RGB). Run on CPU by
+    tools/gen_transport_ref.py to produce the reference; run on the chip
+    by check_transport() before every timed bench."""
     from hikari_tpu.camera.camera import make_perspective_camera
     from hikari_tpu.film.filters import make_filter
     from hikari_tpu.integrators.volpath import VolPath, render_lanes
 
-    res = (64, 64)
-    camera = make_perspective_camera(
-        (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0)
+    builder, (eye, at, fov), _depth, (pres, pdepth) = SCENE_DEFS[which]
+    camera = make_perspective_camera(eye, at, (pres, pres), fov_deg=fov)
     filt = make_filter()
-    vp = VolPath(max_depth=5, samples_per_pixel=1)
-    lanes = jnp.arange(64 * 64, dtype=jnp.uint32)
-    px = lanes % 64
-    py = lanes // 64
+    vp = VolPath(max_depth=pdepth, samples_per_pixel=1)
+    lanes = jnp.arange(pres * pres, dtype=jnp.uint32)
+    px = lanes % pres
+    py = lanes // pres
 
     @jax.jit
     def probe(s):
@@ -92,7 +122,7 @@ def transport_probe(scene):
     return float(np.asarray(rays)), float(np.asarray(mean_rgb))
 
 
-def check_transport(scene):
+def check_transport(scene, which: str = "default"):
     """On-chip transport tripwire: compare the probe against the stored
     CPU reference (tools/transport_ref.json). The round-3 bf16-fusion bug
     dropped ~28% of closest hits while every timing spread stayed tight —
@@ -110,7 +140,13 @@ def check_transport(scene):
         return "skip: no transport_ref.json"
     with open(ref_path) as f:
         ref = json.load(f)
-    rays, mean_rgb = transport_probe(scene)
+    if "scenes" in ref:  # round-5 multi-scene format
+        ref = ref["scenes"].get(which)
+        if ref is None:
+            return f"skip: no transport_ref entry for {which}"
+    elif which != "default":
+        return f"skip: single-scene transport_ref.json lacks {which}"
+    rays, mean_rgb = transport_probe(scene, which)
     # rays: edge-margin hit flips move a handful of lanes; the bug class
     # this guards against moves >20%. mean_rgb: fp reassociation across
     # backends stays ~1e-3 relative; broken transport moves ~10%.
@@ -125,62 +161,21 @@ def check_transport(scene):
     return "pass"
 
 
-def run(res_px: int, n_iters: int):
-    from hikari_tpu.camera.camera import make_perspective_camera
+def run(res_px: int, n_iters: int, which: str | None = None, reps: int = 3):
+    """Timed render of a registry scene (BENCH_SCENE configs map to
+    BASELINE.md: default = mesh-heavy cat-scene stand-in; fog =
+    homogeneous Cornell (medium_example); triangle / sphere = PR1 +
+    quickstart sanity; cloud = BOMEX-class depth-32 volumetric; mesh =
+    ~327k-tri scanned-asset stand-in; materials = 10-BSDF dispatch)."""
     from hikari_tpu.film.filters import make_filter
     from hikari_tpu.integrators.volpath import VolPath, render_lanes
 
     import os
 
-    # BENCH_SCENE selects a BASELINE.md config:
-    #   default  - mesh-heavy cat-scene stand-in (33k tris, 3 lights)
-    #   fog      - homogeneous-medium Cornell (medium_example)
-    #   triangle - single triangle (single_triangle_test.jl)
-    #   sphere   - glass+gold spheres on a plane under a Hosek-Wilkie sky
-    #              (README quickstart / sphere_normals_test.jl)
-    #   cloud    - BOMEX-class procedural cloud, g=0.877, depth 32
-    #              (bomex_cloud_example.jl stand-in)
-    #   mesh     - ~327k-tri displaced icosphere (scanned-asset stand-in,
-    #              BASELINE.md cat config)
-    which = os.environ.get("BENCH_SCENE", "default")
+    if which is None:
+        which = os.environ.get("BENCH_SCENE", "default")
+    scene, camera, depth = scene_setup(which, res_px)
     res = (res_px, res_px)
-    depth = 5
-    if which == "fog":
-        scene = build_fog_scene()
-        camera = make_perspective_camera(
-            (0.0, 1.0, -2.6), (0.0, 1.0, 1.0), res, fov_deg=50.0
-        )
-    elif which == "triangle":
-        scene = build_triangle_scene()
-        camera = make_perspective_camera(
-            (0.0, 0.3, -2.2), (0.0, 0.3, 0.0), res, fov_deg=45.0
-        )
-    elif which == "sphere":
-        scene = build_sphere_scene()
-        camera = make_perspective_camera(
-            (0.0, 1.0, -3.2), (0.0, 0.5, 0.0), res, fov_deg=45.0
-        )
-    elif which == "cloud":
-        scene = build_cloud_scene()
-        camera = make_perspective_camera(
-            (0.0, 0.7, -3.0), (0.0, 0.9, 0.0), res, fov_deg=50.0
-        )
-        depth = 32
-    elif which == "materials":
-        scene = build_materials_scene()
-        camera = make_perspective_camera(
-            (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
-        )
-    elif which == "mesh":
-        scene = build_mesh_scene()
-        camera = make_perspective_camera(
-            (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
-        )
-    else:
-        scene = build_scene()
-        camera = make_perspective_camera(
-            (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0
-        )
     filt = make_filter()
     vp = VolPath(max_depth=depth, samples_per_pixel=256,
                  resident=os.environ.get("HIKARI_RESIDENT", "auto"),
@@ -231,13 +226,14 @@ def run(res_px: int, n_iters: int):
         dt = time.perf_counter() - t0
         return total_rays / dt / 1e6, dt / (n_iters * ksamp)
 
-    # median of 3 repetitions: the tunnel/TPU showed 3x run-to-run swings
+    # median of N repetitions: the tunnel/TPU showed 3x run-to-run swings
     # (4.87 vs 2.33 vs 1.51 Mray/s on identical code); median-of-N plus the
     # reported spread makes regressions distinguishable from machine noise
-    out = [timed_rep(k) for k in range(3)]
-    reps = sorted(r[0] for r in out)
+    out = [timed_rep(k) for k in range(reps)]
+    rates = sorted(r[0] for r in out)
     spp_secs = sorted(r[1] for r in out)
-    return reps[1], (reps[0], reps[-1]), spp_secs[1]
+    mid = len(rates) // 2
+    return rates[mid], (rates[0], rates[-1]), spp_secs[mid]
 
 
 def build_fog_scene():
@@ -462,14 +458,17 @@ def main():
     # transport divergence must fail the recorded JSON, not ship silently.
     # Fallback re-exec stages inherit the stage-0 result via env instead
     # of re-running the probe.
+    which = os.environ.get("BENCH_SCENE", "default")
     transport = os.environ.get("BENCH_TRANSPORT", "")
     if not transport:
-        transport = "skip: non-default scene"
-        if os.environ.get("BENCH_SCENE", "default") == "default":
+        if which in SCENE_DEFS:
             try:
-                transport = check_transport(build_scene())
+                builder = globals()[SCENE_DEFS[which][0]]
+                transport = check_transport(builder(), which)
             except Exception as e:  # pragma: no cover - probe-infra path
                 transport = f"skip: probe error {type(e).__name__}: {e}"
+        else:
+            transport = f"skip: unknown scene {which}"
         print(f"transport_check: {transport}", flush=True)
     # Device faults fall back to smaller configs so the driver always
     # records a number — but a TPU fault poisons the whole process (the
@@ -496,6 +495,30 @@ def main():
             os.execve(sys.executable,
                       [sys.executable, os.path.abspath(__file__)], env)
         mrays = 0.0
+    # Secondary per-scene entries (VERDICT r4 item 4): when the driver
+    # runs the default config successfully, also record the BASELINE.md
+    # companion workloads (scanned-mesh, fog Cornell, BOMEX-class cloud)
+    # at reduced rep counts so every round's BENCH json carries all four
+    # numbers. BENCH_SECONDARY=0 disables (A/B scripts time one config).
+    secondary = {}
+    if (which == "default" and stage == 0 and mrays > 0.0
+            and os.environ.get("BENCH_SECONDARY", "1") != "0"):
+        for sc in ("mesh", "fog", "cloud"):
+            try:
+                builder = globals()[SCENE_DEFS[sc][0]]
+                tr_sc = check_transport(builder(), sc)
+                m_sc, sp_sc, spp_sc = run(res, 2, which=sc, reps=1)
+                secondary[sc] = {
+                    "Mray/s": round(m_sc, 3),
+                    "wallclock_256spp_s": round(256.0 * spp_sc, 1),
+                    "transport_check": tr_sc,
+                }
+                print(f"secondary {sc}: {secondary[sc]}", flush=True)
+            except Exception as e:  # pragma: no cover - device-fault path
+                secondary[sc] = {"error": f"{type(e).__name__}: {e}"}
+                print(f"secondary {sc} failed: {secondary[sc]}", flush=True)
+                break  # a device fault poisons the process; stop here
+
     # record the effective kernel configuration so every number in
     # BENCH_r*.json is unambiguous about what ran (VERDICT r2 item 3)
     from hikari_tpu.geometry import wavefront as _wf
@@ -525,6 +548,7 @@ def main():
                 "coherence": os.environ.get("BENCH_COHERENCE", "none"),
                 "fallback": fallback,
                 "transport_check": transport,
+                "secondary": secondary,
             }
         )
     )

@@ -67,7 +67,10 @@ def build_instanced_treelets(
     base = 0
     for p0, p1, p2 in blas_tris:
         assert len(p0) % TREELET == 0, "BLAS triangles must be TT-padded"
-        tl = build_treelets(p0, p1, p2)
+        # the instanced kernels hardcode the 3-way in-kernel ray split
+        # (_split3_block), so their bw blocks stay K=24 regardless of the
+        # flat path's HIKARI_SPLIT setting
+        tl = build_treelets(p0, p1, p2, split=3)
         blas_tl.append(tl)
         blas_base.append(base)
         base += tl.lo.shape[0]

@@ -98,8 +98,12 @@ class Treelets:
     lo: jnp.ndarray   # (T, 3) treelet AABB min
     hi: jnp.ndarray   # (T, 3)
     bw: jnp.ndarray   # (T, 24, 3*TT) bf16 split affine coefficients
-    tri: jnp.ndarray  # (T*TT, 9) f32 rows [p0 | e1 | e2] for the exact
-    #                 # per-lane hit resolve after the sweep
+    tri: jnp.ndarray  # (T*TT, 10) f32 rows [p0 | e1 | e2 | face] for the
+    #                 # exact per-lane hit resolve after the sweep; `face`
+    #                 # is the BVH-leaf-order triangle index (exact f32,
+    #                 # < 2^24), -1 for padding slots — treelets need not
+    #                 # be fixed TT-strides of the leaf order (see
+    #                 # bvh_cut_ranges)
 
 
 # winner-index bits packed into the low mantissa of the quantized-t sort
@@ -128,6 +132,30 @@ SWEEP_MODE = _os.environ.get("HIKARI_SWEEP", "tile")
 # for the hit test; the winner's exact t/u/v are recomputed post-sweep
 # anyway); 'div' = the plain f32 divide.
 RECIP = _os.environ.get("HIKARI_RECIP", "newton")
+# per-ray super-AABB pre-pass: before the sort, test each ray's segment
+# against coarse groups of HIKARI_SUPER consecutive treelets; lanes whose
+# segment intersects NO super box are guaranteed misses (closest) /
+# unoccluded (any-hit) and get t_max=0, so they sort to the dead suffix,
+# shrink the compaction prefix, AND stop inflating the per-tile
+# front-to-back threshold (sim_sweep measured the early-out never firing
+# on bounce sweeps because miss lanes pin the threshold at world-exit
+# scale). ~T/SUPER fori iterations of ~20 VPU ops per lane — orders of
+# magnitude under one pair sweep.
+PREPASS = _os.environ.get("HIKARI_PREPASS", "off") == "on"
+SUPER = int(_os.environ.get("HIKARI_SUPER", "32"))
+# bf16 split width for the BW matmuls: 3 = 3-way error split (K=24
+# contraction rows, reproduces f32), 2 = 2-way (K=12, ~2^-15 relative —
+# coarser than the kernel's own 2^-16 t quantization but the winning
+# triangle is re-resolved exactly post-sweep; halves MXU work and bw DMA
+# bytes). The flat-scene kernels follow this; the instanced path stays
+# 3-way (its in-kernel split is hardcoded).
+SPLIT = int(_os.environ.get("HIKARI_SPLIT", "3"))
+KSPLIT = 24 if SPLIT == 3 else 12
+# origin-Morton resolution ladder for the sort key (bits per axis):
+# 5 keeps the round-1 layout (14 origin bits / 15 direction bits);
+# 6/7 trade direction bits for tighter origin clustering, which shrinks
+# per-tile frusta for bounce wavefronts at RAY_TILE=1024.
+KEY_OBITS = int(_os.environ.get("HIKARI_KEY_OBITS", "5"))
 # reversed NEE shadow rays: occlusion over an open segment is symmetric,
 # and rays traced FROM the sampled light point toward the surface form
 # shared-origin, direction-sorted packets (one octant per tile, tight
@@ -154,57 +182,141 @@ def _trunc_bf16(x):
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
-def _split3_cols(m: np.ndarray) -> np.ndarray:
-    """(4, C) f32 -> (24, C) bf16: rows [m1 m2 m1 m3 m1 m2] pairing with
-    ray columns [a1 a1 a2 a1 a3 a2] so one K=24 bf16 matmul accumulates the
-    six >=2^-24 partial products of (a1+a2+a3)(m1+m2+m3) in f32.
+def _split3_cols(m: np.ndarray, split: int | None = None) -> np.ndarray:
+    """(4, C) f32 -> (K, C) bf16 column-side split.
+
+    split=3 (K=24): rows [m1 m2 m1 m3 m1 m2] pairing with ray columns
+    [a1 a1 a2 a1 a3 a2] so one bf16 matmul accumulates the six >=2^-24
+    partial products of (a1+a2+a3)(m1+m2+m3) in f32. split=2 (K=12):
+    rows [m1 m2 m1] / rays [a1 a1 a2] keep the three >=2^-16 products.
 
     Truncation splits (not round-to-nearest): m1f is a bit-prefix of m, so
-    both residual subtractions are exact (Sterbenz) and m1+m2+m3 carries
-    m's top 24 mantissa bits regardless of backend or fusion context."""
+    both residual subtractions are exact (Sterbenz) and the split carries
+    m's top mantissa bits regardless of backend or fusion context."""
+    if split is None:
+        split = SPLIT
     m = jnp.asarray(m, jnp.float32)
     m1f = _trunc_bf16(m)
     r = m - m1f
     m2f = _trunc_bf16(r)
-    m3f = _trunc_bf16(r - m2f)
     m1 = m1f.astype(jnp.bfloat16)   # exact: already bf16-representable
     m2 = m2f.astype(jnp.bfloat16)
-    m3 = m3f.astype(jnp.bfloat16)
+    if split == 2:
+        return jnp.concatenate([m1, m2, m1], axis=0)
+    m3 = _trunc_bf16(r - m2f).astype(jnp.bfloat16)
     return jnp.concatenate([m1, m2, m1, m3, m1, m2], axis=0)
 
 
-def _split3_rays(a: jnp.ndarray) -> jnp.ndarray:
-    """(R, 4) f32 -> (R, 24) bf16 ray-side split: [a1 a1 a2 a1 a3 a2].
-    Same fusion-proof truncation split as _split3_cols."""
+def _split3_rays(a: jnp.ndarray, split: int | None = None) -> jnp.ndarray:
+    """(R, 4) f32 -> (R, K) bf16 ray-side split: [a1 a1 a2 a1 a3 a2]
+    (split=3) or [a1 a1 a2] (split=2). Same fusion-proof truncation split
+    as _split3_cols."""
+    if split is None:
+        split = SPLIT
     a1f = _trunc_bf16(a)
     r = a - a1f
     a2f = _trunc_bf16(r)
-    a3f = _trunc_bf16(r - a2f)
     a1 = a1f.astype(jnp.bfloat16)
     a2 = a2f.astype(jnp.bfloat16)
-    a3 = a3f.astype(jnp.bfloat16)
+    if split == 2:
+        return jnp.concatenate([a1, a1, a2], axis=1)
+    a3 = _trunc_bf16(r - a2f).astype(jnp.bfloat16)
     return jnp.concatenate([a1, a1, a2, a1, a3, a2], axis=1)
 
 
-def build_treelets(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> Treelets:
-    """Host: block the BVH-leaf-ordered triangles into treelets of TREELET
-    triangles (the leaf order is spatially coherent so treelet AABBs are
-    tight) and precompute the Baldwin-Weber affine coefficients in f64.
+def bvh_cut_ranges(fb, n_prims: int, merge: bool = True):
+    """Cut the flat skip-link BVH into subtrees of <= TREELET primitives.
+
+    Fixed TT-stride runs of the leaf order span arbitrary subtree
+    boundaries, so their AABBs can be far looser than the tree's own
+    nodes (measured: the 327k-tri mesh bench scene culls ~4x worse than
+    the 33k default). A subtree of the DFS-ordered BVH covers a
+    CONTIGUOUS leaf-order range [first, first+size), so cutting at
+    subtree boundaries keeps the same contiguous-range treelet layout
+    while inheriting the SAH build's tight cluster bounds.
+
+    Returns (base, cnt) int64 arrays in leaf order. With merge=True,
+    adjacent small ranges are greedily packed to <= TREELET (undersized
+    SAH children would otherwise waste treelet slots); ranges are only
+    merged when either side is small, so tight mid-size boxes survive."""
+    first = np.asarray(fb.first, np.int64)
+    skip = np.asarray(fb.skip, np.int64)
+    count = np.asarray(fb.count, np.int64)
+    n_nodes = len(first)
+
+    def sub_end(i):
+        s = skip[i]
+        return n_prims if s >= n_nodes else first[s]
+
+    out: list[tuple[int, int]] = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        c = sub_end(i) - first[i]
+        if c <= TREELET or count[i] > 0:
+            out.append((int(first[i]), int(c)))
+        else:
+            stack.append(int(skip[i + 1]))  # right child
+            stack.append(i + 1)             # left child (popped first)
+    out.sort()
+    if merge:
+        merged: list[list[int]] = []
+        for b, c in out:
+            if merged and merged[-1][1] + c <= TREELET and (
+                    merged[-1][1] <= TREELET // 4 or c <= TREELET // 4):
+                merged[-1][1] += c
+            else:
+                merged.append([b, c])
+        out = [(b, c) for b, c in merged]
+    base = np.asarray([b for b, _ in out], np.int64)
+    cnt = np.asarray([c for _, c in out], np.int64)
+    return base, cnt
+
+
+def build_treelets(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
+                   ranges=None, split: int | None = None) -> Treelets:
+    """Host: block the BVH-leaf-ordered triangles into treelets and
+    precompute the Baldwin-Weber affine coefficients in f64.
+
+    ranges: optional (base, cnt) arrays — treelet i holds leaf-order
+    triangles [base[i], base[i]+cnt[i]) padded to TREELET slots (see
+    bvh_cut_ranges). Default: fixed TREELET-stride runs of the leaf
+    order (the leaf order is spatially coherent so stride AABBs are
+    usable; subtree cuts are tighter).
 
     Pair lists are ordered per tile by the cull pass's exact conservative
     entry distances, so the sweep kernels early-out as soon as every lane's
     best hit precedes the remaining treelets."""
     p = len(p0)
-    t = max(1, -(-p // TREELET))
-    pad = t * TREELET - p
+    if ranges is None:
+        t = max(1, -(-p // TREELET))
+        base = np.arange(t, dtype=np.int64) * TREELET
+        cnt = np.clip(p - base, 0, TREELET)
+    else:
+        base = np.asarray(ranges[0], np.int64)
+        cnt = np.asarray(ranges[1], np.int64)
+        t = len(base)
+        assert (cnt >= 1).all() and (cnt <= TREELET).all()
+
+    cols = np.arange(TREELET, dtype=np.int64)
+    idx = base[:, None] + cols[None, :]              # (t, TT)
+    valid = cols[None, :] < cnt[:, None]
+    idx = np.where(valid, np.minimum(idx, max(p - 1, 0)), 0)
+    vflat = valid.reshape(-1, 1)
 
     def padded(a):
-        fill = np.full((pad, 3), 3.0e37, np.float32)
-        return np.concatenate([np.asarray(a, np.float32), fill])
+        out = np.asarray(a, np.float32)[idx.reshape(-1)]
+        return np.where(vflat, out, np.float32(3.0e37))
 
     p0p, p1p, p2p = padded(p0), padded(p1), padded(p2)
-    lo = np.minimum(np.minimum(p0p, p1p), p2p).reshape(t, TREELET, 3).min(1)
-    hi = np.maximum(np.maximum(p0p, p1p), p2p).reshape(t, TREELET, 3).max(1)
+    v3 = valid[:, :, None]
+    tri_lo = np.minimum(np.minimum(p0p, p1p), p2p).reshape(t, TREELET, 3)
+    tri_hi = np.maximum(np.maximum(p0p, p1p), p2p).reshape(t, TREELET, 3)
+    # masked AABBs: padding slots must not inflate hi (the old tail-pad
+    # fill leaked 3e37 into the last stride treelet's hi, pairing it with
+    # every ray tile)
+    lo = np.where(v3, tri_lo, np.float32(3.0e37)).min(1)
+    hi = np.where(v3, tri_hi, np.float32(-3.0e37)).max(1)
 
     # Baldwin-Weber coefficients in f64; degenerate (incl. padding)
     # triangles get all-zero rows -> den == 0 -> never hit
@@ -233,11 +345,15 @@ def build_treelets(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> Treelets:
         return np.transpose(m.reshape(t, TREELET, 4), (0, 2, 1))
 
     m4 = np.concatenate([grp(mn), grp(mu), grp(mv)], axis=2)  # (T, 4, 3TT)
-    bw = jnp.stack([_split3_cols(m4[i]) for i in range(t)]) if t <= 1 else \
-        jax.vmap(_split3_cols)(jnp.asarray(m4))
+    sp = SPLIT if split is None else split
+    bw = jnp.stack([_split3_cols(m4[i], sp) for i in range(t)]) if t <= 1 \
+        else jax.vmap(lambda x: _split3_cols(x, sp))(jnp.asarray(m4))
 
+    # face index column: exact f32 for < 2^24 faces (the pair-meta field
+    # caps faces at 16.7M anyway); -1 marks padding slots
+    face = np.where(valid, idx, -1).reshape(-1, 1).astype(np.float64)
     tri = np.concatenate(
-        [p0p, p1p.astype(np.float64) - q0, p2p.astype(np.float64) - q0],
+        [p0p, p1p.astype(np.float64) - q0, p2p.astype(np.float64) - q0, face],
         axis=1,
     ).astype(np.float32)
 
@@ -273,25 +389,30 @@ def ray_sort_keys(o, d, world_lo, world_hi):
         | ((d[..., 1] < 0).astype(jnp.uint32) << 1)
         | ((d[..., 2] < 0).astype(jnp.uint32) << 2)
     )
+    # origin/direction bit split: 14/15 at the default KEY_OBITS=5
+    # (round-1 layout); 18/11 and 21/8 at 6/7 bits per origin axis
+    om_bits = 14 if KEY_OBITS == 5 else 3 * KEY_OBITS
+    dm_bits = 29 - om_bits
     ad = jnp.abs(d)
     di = jnp.clip((ad * 31.0), 0.0, 31.0).astype(jnp.uint32)  # 5 bits/axis
     dm = (
         _morton10(di[..., 0]) | (_morton10(di[..., 1]) << 1)
         | (_morton10(di[..., 2]) << 2)
-    ) & jnp.uint32(0x7FFF)
+    ) >> jnp.uint32(15 - dm_bits)
 
+    oscale = float((1 << KEY_OBITS) - 1)
     ext = jnp.maximum(world_hi - world_lo, 1e-6)
     q = jnp.clip((o - world_lo) / ext, 0.0, 1.0)
-    qi = (q * 31.0).astype(jnp.uint32)  # 5 bits per axis -> keep low 14
+    qi = (q * oscale).astype(jnp.uint32)
     m = (
         _morton10(qi[..., 0]) | (_morton10(qi[..., 1]) << 1)
         | (_morton10(qi[..., 2]) << 2)
-    ) & jnp.uint32(0x3FFF)
+    ) & jnp.uint32((1 << om_bits) - 1)
     # octant-major (sign-uniform tiles keep the interval culling exact),
     # then origin locality, then fine direction: camera/shadow packets
     # (shared origin cell) end up direction-sorted, bounce rays
     # origin-sorted — both get tight bounding volumes
-    return (octant << 29) | (m << 15) | (dm & jnp.uint32(0x7FFF))
+    return (octant << 29) | (m << dm_bits) | dm
 
 
 
@@ -610,9 +731,12 @@ def _resolve_hits(tl: Treelets, key, tr, os_, ds):
     Moller-Trumbore from one (n, 9) row gather. Miss lanes (tr < 0) fall
     back to the quantized t (callers only read t on hit lanes)."""
     col = key & COL_MASK
-    tri = jnp.where(tr >= 0, tr * TREELET + col, -1)
-    rows = tl.tri[jnp.maximum(tri, 0)]          # (n, 9) row gather
+    slot = jnp.maximum(tr, 0) * TREELET + col
+    rows = tl.tri[slot]                         # (n, 10) row gather
     p0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    # leaf-order face index rides the row (column 9): treelet slots need
+    # not be a fixed stride of the face arrays (bvh_cut_ranges)
+    tri = jnp.where(tr >= 0, rows[:, 9].astype(jnp.int32), -1)
     pvec = jnp.cross(ds, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
     inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
@@ -643,7 +767,7 @@ def _pad_rays(o, d, t_max):
 
 
 def _ray_matrices(os_, ds):
-    """Split [o,1] and [d,0] into the (R, 24) bf16 matmul operands."""
+    """Split [o,1] and [d,0] into the (R, KSPLIT) bf16 matmul operands."""
     n = os_.shape[0]
     a = jnp.concatenate([os_, jnp.ones((n, 1), jnp.float32)], axis=1)
     b = jnp.concatenate([ds, jnp.zeros((n, 1), jnp.float32)], axis=1)
@@ -673,9 +797,10 @@ def _sweep_chunks(kernel, meta, n_pairs, tnear_pair, a6, d6, carry_in,
     state_spec = lambda: pl.BlockSpec(
         (1, RAY_TILE, 1), lambda p, m, tn: (m[p] >> TILE_SHIFT, 0, 0))
     ray_spec = lambda: pl.BlockSpec(
-        (RAY_TILE, 24), lambda p, m, tn: (m[p] >> TILE_SHIFT, 0))
+        (RAY_TILE, KSPLIT), lambda p, m, tn: (m[p] >> TILE_SHIFT, 0))
     bw_spec = pl.BlockSpec(
-        (1, 24, 3 * TREELET), lambda p, m, tn: (m[p] & TREELET_MASK, 0, 0))
+        (1, KSPLIT, 3 * TREELET),
+        lambda p, m, tn: (m[p] & TREELET_MASK, 0, 0))
     specs = [ray_spec(), ray_spec()]
 
     n_carry = len(carry_in)
@@ -889,7 +1014,7 @@ def _sweep_tiles(kernel, meta, seg, tnear_pair, a6, d6, carry_in,
         state_spec = lambda: pl.BlockSpec(
             (1, RAY_TILE, 1), lambda i, tre_, tn_, seg_: (t0 + i, 0, 0))
         ray_spec = lambda: pl.BlockSpec(
-            (RAY_TILE, 24), lambda i, tre_, tn_, seg_: (t0 + i, 0))
+            (RAY_TILE, KSPLIT), lambda i, tre_, tn_, seg_: (t0 + i, 0))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(cj,),
@@ -905,7 +1030,7 @@ def _sweep_tiles(kernel, meta, seg, tnear_pair, a6, d6, carry_in,
                 for _ in range(n_carry)
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, 24, 3 * TREELET), jnp.bfloat16),
+                pltpu.VMEM((2, KSPLIT, 3 * TREELET), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SMEM((1,), jnp.int32),
             ],
@@ -922,6 +1047,48 @@ def _sweep_tiles(kernel, meta, seg, tnear_pair, a6, d6, carry_in,
         return tuple(outs[0])
     return tuple(jnp.concatenate([o[k] for o in outs])
                  for k in range(n_carry))
+
+
+def _ray_super_cull(tl: Treelets, o, d, t_max):
+    """Per-ray conservative segment test against super-treelet AABBs
+    (groups of SUPER consecutive treelets in leaf order). Returns a bool
+    mask: False = the segment [o, o + t_max*d] provably intersects NO
+    treelet, so the lane is a guaranteed miss (closest) / unoccluded
+    (any-hit) and can be retired before the sort.
+
+    The tile-level cull can never retire individual lanes — a single
+    far-flying lane keeps its whole 1024-ray tile sweeping — so this is
+    the only per-LANE cull in the pipeline. Cost: ceil(T/SUPER) fori
+    steps of ~20 VPU ops per lane."""
+    T = tl.lo.shape[0]
+    ns = -(-T // SUPER)
+    pad = ns * SUPER - T
+    lo, hi = tl.lo, tl.hi
+    if pad:
+        lo = jnp.concatenate([lo, jnp.full((pad, 3), 3.0e37, lo.dtype)])
+        hi = jnp.concatenate([hi, jnp.full((pad, 3), -3.0e37, hi.dtype)])
+    slo = lo.reshape(ns, SUPER, 3).min(1)
+    shi = hi.reshape(ns, SUPER, 3).max(1)
+    # zero components map to +-1e-20, NOT 0: a zero inverse would collapse
+    # the parallel-axis slab interval to [0, 0] and reject real hits
+    inv = 1.0 / jnp.where(
+        jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    margin = 1e-3 + 1e-4 * jnp.max(jnp.abs(o), axis=-1)
+
+    def body(i, may):
+        t0 = (slo[i][None, :] - o) * inv
+        t1 = (shi[i][None, :] - o) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        ok = (
+            (tn <= tf * 1.0001 + margin)
+            & (tf > -margin)
+            & (tn <= t_max * 1.0001 + margin)
+        )
+        return may | ok
+
+    return jax.lax.fori_loop(0, ns, body,
+                             jnp.zeros(o.shape[0], bool))
 
 
 def _world_exit_clamp(o, d, t_max, world_lo, world_hi):
@@ -999,6 +1166,8 @@ def closest_hit_packets(
     t_max = _world_exit_clamp(o, d, t_max, world_lo, world_hi)
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
+    if PREPASS:
+        t_max = jnp.where(_ray_super_cull(tl, o, d, t_max), t_max, 0.0)
     o, d, t_max, n, n_pad = _pad_rays(o, d, t_max)
     n_treelets = tl.lo.shape[0]
 
@@ -1123,6 +1292,8 @@ def any_hit_packets(tl, o, d, t_max, world_lo, world_hi, interpret=False,
         o = o + d * t_max[..., None]
         d = -d
     t_max = t_max * 0.9999
+    if PREPASS:
+        t_max = jnp.where(_ray_super_cull(tl, o, d, t_max), t_max, 0.0)
     if group is not None:
         group = jnp.concatenate(
             [group, jnp.zeros((-len(group)) % RAY_TILE, group.dtype)])

@@ -935,12 +935,15 @@ def render_sample(
     bench scene (PERF.md round 3) — at the cost of K× the transient
     path-state memory.
     """
-    w, h = camera.resolution
+    # the film's crop window (film.jl:61-183 crop_bounds): lanes cover
+    # only the window's pixels, so cropped progressive previews cost
+    # proportionally fewer rays
+    w, h = film.width, film.height
     n = w * h
     k = max(1, int(vp.sample_batch))
     lanes = jnp.arange(n, dtype=jnp.uint32)
-    px = lanes % w
-    py = lanes // w
+    px = jnp.uint32(film.crop_x0) + lanes % w
+    py = jnp.uint32(film.crop_y0) + lanes // w
     si = sample_idx
     if k > 1:
         px = jnp.tile(px, k)

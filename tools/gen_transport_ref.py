@@ -26,22 +26,30 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
-    from bench import build_scene, transport_probe
+    import bench
 
-    scene = build_scene()
-    rays, mean_rgb = transport_probe(scene)
-    ref = {
-        "scene": "default",
-        "res": 64,
-        "depth": 5,
-        "rays_traced": rays,
-        "mean_rgb": mean_rgb,
-        "backend": jax.default_backend(),
-    }
+    scenes = sys.argv[1:] or ["default", "mesh", "fog", "cloud"]
     out = os.path.join(os.path.dirname(__file__), "transport_ref.json")
+    refs = {"scenes": {}}
+    if os.path.exists(out):
+        with open(out) as f:
+            old = json.load(f)
+        if "scenes" in old:
+            refs = old  # partial regeneration keeps other entries
+    for which in scenes:
+        builder = getattr(bench, bench.SCENE_DEFS[which][0])
+        pres, pdepth = bench.SCENE_DEFS[which][3]
+        rays, mean_rgb = bench.transport_probe(builder(), which)
+        refs["scenes"][which] = {
+            "res": pres,
+            "depth": pdepth,
+            "rays_traced": rays,
+            "mean_rgb": mean_rgb,
+            "backend": jax.default_backend(),
+        }
+        print(which, json.dumps(refs["scenes"][which]), flush=True)
     with open(out, "w") as f:
-        json.dump(ref, f, indent=1)
-    print(json.dumps(ref))
+        json.dump(refs, f, indent=1)
 
 
 if __name__ == "__main__":

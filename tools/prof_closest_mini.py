@@ -40,11 +40,16 @@ def cosine_scatter(key, p, ng):
 
 def main():
     sys.path.insert(0, ".")
-    from bench import build_scene
+    import os
+
+    import bench
     from hikari_tpu.camera.camera import CameraSample, make_perspective_camera
     from hikari_tpu.geometry import wavefront as wf
 
-    scene = build_scene()
+    which = os.environ.get("BENCH_SCENE", "default")
+    scene = {"default": bench.build_scene, "mesh": bench.build_mesh_scene,
+             "fog": bench.build_fog_scene}[which]()
+    print(f"scene={which}", flush=True)
     res = (800, 800)
     camera = make_perspective_camera((0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res,
                                      fov_deg=45.0)

@@ -39,11 +39,14 @@ def pair_stats(tl, o, d, t_max, world_lo, world_hi, band=None):
 
 
 def main():
-    from bench import build_scene
+    import bench
     from hikari_tpu.camera.camera import CameraSample, make_perspective_camera
     from hikari_tpu.geometry import wavefront as wf
 
-    scene = build_scene()
+    which = os.environ.get("BENCH_SCENE", "default")
+    builders = {"default": bench.build_scene, "mesh": bench.build_mesh_scene,
+                "fog": bench.build_fog_scene, "sphere": bench.build_sphere_scene}
+    scene = builders[which]()
     res = int(os.environ.get("PAIR_RES", "400"))
     camera = make_perspective_camera((0.0, 1.6, -2.8), (0.0, 0.9, 2.0),
                                      (res, res), fov_deg=45.0)

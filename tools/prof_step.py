@@ -24,14 +24,19 @@ sys.path.insert(0, ".")
 
 
 def main():
-    from bench import build_scene
+    import os
+
+    import bench
     from hikari_tpu.camera.camera import make_perspective_camera
     from hikari_tpu.film.filters import make_filter
     from hikari_tpu.integrators.volpath import VolPath, render_lanes
 
     res_px = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     res = (res_px, res_px)
-    scene = build_scene()
+    which = os.environ.get("BENCH_SCENE", "default")
+    scene = {"default": bench.build_scene, "mesh": bench.build_mesh_scene,
+             "fog": bench.build_fog_scene}[which]()
+    print(f"scene={which}", flush=True)
     camera = make_perspective_camera(
         (0.0, 1.6, -2.8), (0.0, 0.9, 2.0), res, fov_deg=45.0)
     filt = make_filter()
