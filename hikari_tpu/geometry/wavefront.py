@@ -458,13 +458,23 @@ def _unsort_hits(order, n, t, b1, b2, tri):
 # --- conservative tile x treelet culling --------------------------------------------
 
 
-def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = 8):
+# sub-frusta per kernel tile in the cull pass: the (n_tiles*SUB, T)
+# interval test's intermediates scale with SUB x T — the dominant
+# per-sweep fixed cost on high-T scenes (mesh: T=1281, depth-1 frame
+# share ~3.8x the default scene's at near-zero pair density). Lower SUB
+# = cheaper cull, looser frusta.
+SUBFRUSTA = int(_os.environ.get("HIKARI_SUB", "8"))
+
+
+def tile_treelet_mask(o, d, t_max, tl: Treelets, n_tiles, sub: int = None):
     """(n_tiles, T) bool mask + (n_tiles, T) f32 conservative entry t.
 
     Interval slab test per octant-uniform *sub-frustum* (the 1024-ray
     kernel tile is tested as the union of `sub` 128-ray frusta, which is
     strictly tighter than its hull); sub-frusta with mixed direction signs
     per axis fall back to 'cull nothing on that axis'."""
+    if sub is None:
+        sub = SUBFRUSTA
     n_tiles = n_tiles * sub
     br = RAY_TILE // sub
     ot = o.reshape(n_tiles, br, 3)
@@ -638,6 +648,41 @@ def _bw_block(a6, d6, m6):
     u = au + t * bu
     v = av + t * bv
     return t, u, v, den
+
+
+def _bw_block_lean(a6, d6, m6):
+    """_bw_block without the den clamp: degenerate or padding triangles
+    (den == 0, incl. all-zero BW rows) produce t = inf/nan, and every
+    comparison in _hit_mask_lean is false on inf-out-of-range and nan —
+    so they self-reject without the abs/cmp/select clamp or the
+    |den| > 1e-20 test. The sweep epilogue is the VPU-bound hot loop
+    (measured ~3.6 us/pair vs ~0.3 us of MXU work at TT=256); every
+    dropped elementwise op on the (RAY_TILE, TREELET) block counts.
+
+    Returns (t, u, v)."""
+    dims = (((1,), (0,)), ((), ()))
+    mo = jax.lax.dot_general(a6, m6, dims, preferred_element_type=jnp.float32)
+    md = jax.lax.dot_general(d6, m6, dims, preferred_element_type=jnp.float32)
+    num, au, av = mo[:, :TREELET], mo[:, TREELET:2 * TREELET], mo[:, 2 * TREELET:]
+    den, bu, bv = md[:, :TREELET], md[:, TREELET:2 * TREELET], md[:, 2 * TREELET:]
+    if RECIP == "newton":
+        r = pl.reciprocal(den, approx=True)
+        r = r * (2.0 - den * r)
+        t = -num * r
+    else:
+        t = -num / den
+    u = au + t * bu
+    v = av + t * bv
+    return t, u, v
+
+
+def _hit_mask_lean(t, u, v):
+    """Fused inside test: min(u, v, (1+eps)-(u+v)) >= -eps & t in range.
+    nan (from den == 0) compares false everywhere."""
+    eps = 1e-6
+    w = (1.0 + eps) - (u + v)
+    m = jnp.minimum(jnp.minimum(u, v), w)
+    return (m >= -eps) & (t > 1e-4)
 
 
 def _closest_pairs_kernel(meta_ref, tnear_ref, a6_ref, d6_ref,
@@ -876,6 +921,8 @@ def _closest_tiles_kernel(tre_ref, tn_ref, seg_ref, a6_ref, d6_ref,
     tr_ref[0] = tr_i_ref[0]
     # rounded-up threshold in SMEM so the loop condition is a scalar read
     thr_ref[0] = jnp.max(key_i_ref[0] | COL_MASK)
+    # loop-invariant column indices, hoisted out of the sweep body
+    cols = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, TREELET), 1)
 
     def dma(slot, p):
         return pltpu.make_async_copy(
@@ -896,16 +943,10 @@ def _closest_tiles_kernel(tre_ref, tn_ref, seg_ref, a6_ref, d6_ref,
             dma(1 - slot, p + 1).start()
 
         dma(slot, p).wait()
-        t, u, v, den = _bw_block(a6_ref[:], d6_ref[:], bw_buf[slot])
-        eps = 1e-6
-        hit = (
-            (jnp.abs(den) > 1e-20)
-            & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
-            & (t > 1e-4)
-        )
+        t, u, v = _bw_block_lean(a6_ref[:], d6_ref[:], bw_buf[slot])
+        hit = _hit_mask_lean(t, u, v)
         t_cand = jnp.where(hit, t, 3.0e38)
         bits = jax.lax.bitcast_convert_type(t_cand, jnp.int32)
-        cols = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1)
         key = (bits & ~COL_MASK) | cols
         key_new = jnp.min(key, axis=-1, keepdims=True)
         better = key_new < key_ref[0]
@@ -954,13 +995,8 @@ def _occlusion_tiles_kernel(tre_ref, tn_ref, seg_ref, a6_ref, d6_ref,
             dma(1 - slot, p + 1).start()
 
         dma(slot, p).wait()
-        t, u, v, den = _bw_block(a6_ref[:], d6_ref[:], bw_buf[slot])
-        eps = 1e-6
-        hit = (
-            (jnp.abs(den) > 1e-20)
-            & (u >= -eps) & (v >= -eps) & (u + v <= 1.0 + eps)
-            & (t > 1e-4) & (t < tmax_ref[0])
-        )
+        t, u, v = _bw_block_lean(a6_ref[:], d6_ref[:], bw_buf[slot])
+        hit = _hit_mask_lean(t, u, v) & (t < tmax_ref[0])
         occ_ref[0] = occ_ref[0] | jnp.any(
             hit, axis=-1, keepdims=True).astype(jnp.int32)
         thr_ref[0] = jnp.max(jax.lax.bitcast_convert_type(
