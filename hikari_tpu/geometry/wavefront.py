@@ -144,13 +144,16 @@ RECIP = _os.environ.get("HIKARI_RECIP", "newton")
 PREPASS = _os.environ.get("HIKARI_PREPASS", "off") == "on"
 SUPER = int(_os.environ.get("HIKARI_SUPER", "32"))
 # bf16 split width for the BW matmuls: 3 = 3-way error split (K=24
-# contraction rows, reproduces f32), 2 = 2-way (K=12, ~2^-15 relative —
-# coarser than the kernel's own 2^-16 t quantization but the winning
-# triangle is re-resolved exactly post-sweep; halves MXU work and bw DMA
-# bytes). The flat-scene kernels follow this; the instanced path stays
-# 3-way (its in-kernel split is hardcoded).
+# contraction rows, reproduces f32), 2 = 2-way (K=16: all four partial
+# products of (a1+a2)(m1+m2), ~2^-16 relative — the kernel's own t
+# quantization scale, and the winning triangle is re-resolved exactly
+# post-sweep; 33% less MXU work and bw DMA bytes). K must be a multiple
+# of 8: Mosaic rejects blocks whose second-to-minor dim misaligns with
+# the (8, 128) tile, so the three-product K=12 variant cannot compile.
+# The flat-scene kernels follow this; the instanced path stays 3-way
+# (its in-kernel split is hardcoded).
 SPLIT = int(_os.environ.get("HIKARI_SPLIT", "3"))
-KSPLIT = 24 if SPLIT == 3 else 12
+KSPLIT = 24 if SPLIT == 3 else 16
 # origin-Morton resolution ladder for the sort key (bits per axis):
 # 5 keeps the round-1 layout (14 origin bits / 15 direction bits);
 # 6/7 trade direction bits for tighter origin clustering, which shrinks
@@ -187,8 +190,9 @@ def _split3_cols(m: np.ndarray, split: int | None = None) -> np.ndarray:
 
     split=3 (K=24): rows [m1 m2 m1 m3 m1 m2] pairing with ray columns
     [a1 a1 a2 a1 a3 a2] so one bf16 matmul accumulates the six >=2^-24
-    partial products of (a1+a2+a3)(m1+m2+m3) in f32. split=2 (K=12):
-    rows [m1 m2 m1] / rays [a1 a1 a2] keep the three >=2^-16 products.
+    partial products of (a1+a2+a3)(m1+m2+m3) in f32. split=2 (K=16):
+    rows [m1 m2 m1 m2] / rays [a1 a1 a2 a2] keep all four products of
+    the 2-way split (residual ~2^-16).
 
     Truncation splits (not round-to-nearest): m1f is a bit-prefix of m, so
     both residual subtractions are exact (Sterbenz) and the split carries
@@ -202,15 +206,15 @@ def _split3_cols(m: np.ndarray, split: int | None = None) -> np.ndarray:
     m1 = m1f.astype(jnp.bfloat16)   # exact: already bf16-representable
     m2 = m2f.astype(jnp.bfloat16)
     if split == 2:
-        return jnp.concatenate([m1, m2, m1], axis=0)
+        return jnp.concatenate([m1, m2, m1, m2], axis=0)
     m3 = _trunc_bf16(r - m2f).astype(jnp.bfloat16)
     return jnp.concatenate([m1, m2, m1, m3, m1, m2], axis=0)
 
 
 def _split3_rays(a: jnp.ndarray, split: int | None = None) -> jnp.ndarray:
     """(R, 4) f32 -> (R, K) bf16 ray-side split: [a1 a1 a2 a1 a3 a2]
-    (split=3) or [a1 a1 a2] (split=2). Same fusion-proof truncation split
-    as _split3_cols."""
+    (split=3) or [a1 a1 a2 a2] (split=2). Same fusion-proof truncation
+    split as _split3_cols."""
     if split is None:
         split = SPLIT
     a1f = _trunc_bf16(a)
@@ -219,7 +223,7 @@ def _split3_rays(a: jnp.ndarray, split: int | None = None) -> jnp.ndarray:
     a1 = a1f.astype(jnp.bfloat16)
     a2 = a2f.astype(jnp.bfloat16)
     if split == 2:
-        return jnp.concatenate([a1, a1, a2], axis=1)
+        return jnp.concatenate([a1, a1, a2, a2], axis=1)
     a3 = _trunc_bf16(r - a2f).astype(jnp.bfloat16)
     return jnp.concatenate([a1, a1, a2, a1, a3, a2], axis=1)
 

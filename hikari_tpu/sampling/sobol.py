@@ -239,7 +239,13 @@ def compute_pixel_sample(cfg: ZSobolConfig, px, py, sample_idx) -> PixelSample:
 
 def path_sample_1d(cfg: ZSobolConfig, px, py, sample_idx, depth, local_dim: int):
     """Path dims: base 6 + 11 per depth (reference: 7/bounce,
-    sobol.jl:448-471; widened for layered-BSDF eval draws)."""
+    sobol.jl:448-471; widened for layered-BSDF eval draws).
+
+    Block-width budget: local_dim 0..10 are ALL allocated (0-1 BSDF, 2
+    RR, 3-4 NEE light point, 5 light select/medium, 6-8 delta-tracking,
+    9 layered walk, 10 preview light select). Adding a 12th per-depth
+    draw at local_dim >= 11 would silently alias the NEXT depth's block —
+    widen the stride (the 11 here and in path_sample_2d) first."""
     return sample_1d(cfg, px, py, sample_idx, 6 + depth * 11 + local_dim)
 
 
