@@ -507,10 +507,15 @@ def main():
             try:
                 builder = globals()[SCENE_DEFS[sc][0]]
                 tr_sc = check_transport(builder(), sc)
-                m_sc, sp_sc, spp_sc = run(res, 2, which=sc, reps=1)
+                # cloud: depth-32 wavefronts >= 640k lanes crash the TPU
+                # worker (round-5 bisect, PERF.md); record at 256^2 until
+                # the fault is isolated
+                res_sc = 256 if sc == "cloud" else res
+                m_sc, sp_sc, spp_sc = run(res_sc, 2, which=sc, reps=1)
                 secondary[sc] = {
                     "Mray/s": round(m_sc, 3),
                     "wallclock_256spp_s": round(256.0 * spp_sc, 1),
+                    "res": res_sc,
                     "transport_check": tr_sc,
                 }
                 print(f"secondary {sc}: {secondary[sc]}", flush=True)
@@ -543,6 +548,7 @@ def main():
                 "compact": os.environ.get("HIKARI_COMPACT", "auto"),
                 "treelet": _wf.TREELET,
                 "ray_tile": _wf.RAY_TILE,
+                "key_obits": _wf.KEY_OBITS,
                 "band_frac": _wf.BAND_FRAC,
                 "samp_batch": int(os.environ.get("BENCH_SAMP_BATCH", "4")),
                 "coherence": os.environ.get("BENCH_COHERENCE", "none"),

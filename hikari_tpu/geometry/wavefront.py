@@ -155,10 +155,13 @@ SUPER = int(_os.environ.get("HIKARI_SUPER", "32"))
 SPLIT = int(_os.environ.get("HIKARI_SPLIT", "3"))
 KSPLIT = 24 if SPLIT == 3 else 16
 # origin-Morton resolution ladder for the sort key (bits per axis):
-# 5 keeps the round-1 layout (14 origin bits / 15 direction bits);
-# 6/7 trade direction bits for tighter origin clustering, which shrinks
-# per-tile frusta for bounce wavefronts at RAY_TILE=1024.
-KEY_OBITS = int(_os.environ.get("HIKARI_KEY_OBITS", "5"))
+# 5 is the round-1 layout (14 origin bits / 15 direction bits); 6/7
+# trade direction bits for tighter origin clustering, which shrinks
+# per-tile frusta for bounce wavefronts at RAY_TILE=1024. Default 6:
+# the round-5 same-session ladder measured +12.9% on the default bench
+# (4.181 -> 4.720) and +31% on the 327k-tri mesh bench (1.099 -> 1.444);
+# 7 is spread-level below 6 on both.
+KEY_OBITS = int(_os.environ.get("HIKARI_KEY_OBITS", "6"))
 # reversed NEE shadow rays: occlusion over an open segment is symmetric,
 # and rays traced FROM the sampled light point toward the surface form
 # shared-origin, direction-sorted packets (one octant per tile, tight

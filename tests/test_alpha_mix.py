@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hikari_tpu.camera.camera import make_perspective_camera
 from hikari_tpu.film.film import framebuffer
@@ -12,6 +13,11 @@ from hikari_tpu.materials.types import Matte, Mix
 from hikari_tpu.scene.mesh import make_quad
 from hikari_tpu.scene.scene import Scene
 from hikari_tpu.textures.atlas import ImageTexture
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def _two_plane_scene(alpha):

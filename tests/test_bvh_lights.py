@@ -3,11 +3,17 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hikari_tpu.lights.bvh_sampler import (
     build_light_bvh, bvh_pmf, bvh_sample_light,
 )
 from hikari_tpu.lights.types import PointLight, pack_lights
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def _grid_lights(k=4, bright_at=(0, 0)):

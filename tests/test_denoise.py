@@ -3,8 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hikari_tpu.film.denoise import DenoiseConfig, denoise, estimate_variance
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def test_denoise_reduces_noise_preserves_edges():

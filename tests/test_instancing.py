@@ -3,6 +3,7 @@ Hikari.jl:22-37; world-space instanced hits, surface_interaction.jl:313-482)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hikari_tpu.camera.camera import make_perspective_camera
 from hikari_tpu.film.film import framebuffer
@@ -11,6 +12,11 @@ from hikari_tpu.lights.types import PointLight
 from hikari_tpu.materials.types import Gold, Matte
 from hikari_tpu.scene.mesh import TriangleMesh, make_quad, make_sphere
 from hikari_tpu.scene.scene import Scene
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def _transforms_grid(n=3, spacing=1.2, scale=0.4):

@@ -27,6 +27,11 @@ from hikari_tpu.media.types import (
 from hikari_tpu.scene.mesh import make_box, make_quad, make_sphere
 from hikari_tpu.scene.scene import Scene
 
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
+
 
 def _abstract_render(scene, res=(16, 16), depth=3, coherence="none"):
     camera = make_perspective_camera((0, 1, -3), (0, 0.5, 0), res, fov_deg=45)

@@ -11,6 +11,11 @@ from hikari_tpu.materials.types import (
 )
 from hikari_tpu.spectral.rgb2spec import srgb_table
 
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
+
 
 def _banks(mats):
     banks, _, _, _ = pack_materials(mats)

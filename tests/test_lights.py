@@ -3,11 +3,17 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hikari_tpu.lights.sampler import build_alias_table
 from hikari_tpu.lights.types import (
     DistantLight, PointLight, pack_lights, sample_light_index,
 )
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def test_alias_table_distribution():

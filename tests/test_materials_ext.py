@@ -4,12 +4,18 @@ transmission, mix resolution."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hikari_tpu.materials import bsdf as mb
 from hikari_tpu.materials.types import (
     DiffuseTransmission, Glass, Matte, Mix, ThinDielectric, pack_materials,
 )
 from hikari_tpu.spectral.rgb2spec import srgb_table
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def _banks(mats):

@@ -12,6 +12,11 @@ from hikari_tpu.media.sample import (
 from hikari_tpu.media.types import HomogeneousMedium, pack_media
 from hikari_tpu.spectral.rgb2spec import srgb_table
 
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
+
 
 def test_hg_normalization():
     # integral of p over the sphere = 1 for several g

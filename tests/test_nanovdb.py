@@ -2,10 +2,16 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hikari_tpu.media.nanovdb import (
     build_nanovdb, load_nanovdb, nanovdb_medium, save_nanovdb, to_dense,
 )
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def test_roundtrip_dense(tmp_path):

@@ -15,6 +15,11 @@ from hikari_tpu.parallel.sharding import make_render_mesh, render_sharded
 from hikari_tpu.scene.mesh import make_quad, make_sphere
 from hikari_tpu.scene.scene import Scene
 
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def simple_scene():

@@ -1,6 +1,7 @@
 """FastWavefront / Whitted preview integrator tests."""
 
 import numpy as np
+import pytest
 
 from hikari_tpu.camera.camera import make_perspective_camera
 from hikari_tpu.film.film import framebuffer
@@ -9,6 +10,11 @@ from hikari_tpu.lights.types import PointLight
 from hikari_tpu.materials.types import Emissive, Matte, Mirror
 from hikari_tpu.scene.mesh import make_quad, make_sphere
 from hikari_tpu.scene.scene import Scene
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def _scene():

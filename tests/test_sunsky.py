@@ -1,11 +1,17 @@
 """Hosek-Wilkie sky model tests."""
 
 import numpy as np
+import pytest
 
 from hikari_tpu.lights.sunsky import (
     _cook_config, _cook_radiance, _tables, sky_spectral_radiance,
     sunsky_environment,
 )
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def test_sky_radiance_positive_and_sun_brightest():

@@ -3,10 +3,16 @@ texture-ref.jl:21-33 + surface-eval.jl:32-141 camera-based dp/dxy)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hikari_tpu.textures.atlas import (
     AtlasBuilder, ImageTexture, TexCtx, atlas_lookup, textured_lookup,
 )
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def _atlas_with_checker(n=64):

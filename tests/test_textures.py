@@ -2,11 +2,17 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hikari_tpu.textures.atlas import (
     AtlasBuilder, ImageTexture, TexCtx, VertexColorTexture, atlas_lookup,
     eval_rgb,
 )
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def test_atlas_lookup_bilinear():

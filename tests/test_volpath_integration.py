@@ -18,6 +18,11 @@ from hikari_tpu.materials.types import Emissive, Glass, Gold, Matte, Mirror
 from hikari_tpu.scene.mesh import make_quad, make_sphere
 from hikari_tpu.scene.scene import Scene
 
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
+
 
 def cornell_box(emissive_light=True):
     s = Scene()

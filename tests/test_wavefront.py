@@ -3,12 +3,18 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hikari_tpu.geometry.bvh import build_bvh
 from hikari_tpu.geometry.traverse import brute_force_closest_hit
 from hikari_tpu.geometry.wavefront import (
     build_treelets, closest_hit_packets, ray_sort_keys, tile_treelet_mask,
 )
+
+# render-path integration tests: the quick tier (-m 'not slow') must stay
+# under 90 s warm on the single-core bench host; everything that compiles a
+# real render runs in the full tier
+pytestmark = pytest.mark.slow
 
 
 def _random_tris(p, seed=0):
