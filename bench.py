@@ -66,23 +66,33 @@ def build_scene():
 
 
 # scene registry: builder, camera (eye, look_at, fov), VolPath depth, and
-# the transport-probe config (res, depth — small enough that the CPU
-# reference generation stays minutes, not hours)
+# the transport-probe config (res, depth, spp, rgb_tol). Probe spp/tol:
+# the delta-tracking scenes use per-lane LCG streams seeded from RAY
+# VALUE BITS, so a 1-ulp backend difference reseeds every stochastic
+# sequence — measured: a 1e-6 camera nudge swings the 1-spp cloud
+# probe's mean_rgb by 18%. The cloud probe averages 16 samples and
+# accepts 10% (still far under a round-3-class 28%-of-hits break);
+# surface scenes stay at 1 spp / 2% (their transport is deterministic
+# given the sampler, and the reseed noise is ~1e-3).
 SCENE_DEFS = {
     "default": ("build_scene", ((0.0, 1.6, -2.8), (0.0, 0.9, 2.0), 45.0),
-                5, (64, 5)),
+                5, (64, 5, 1, 0.02)),
     "fog": ("build_fog_scene", ((0.0, 1.0, -2.6), (0.0, 1.0, 1.0), 50.0),
-            5, (64, 5)),
+            5, (64, 5, 1, 0.02)),
     "triangle": ("build_triangle_scene",
-                 ((0.0, 0.3, -2.2), (0.0, 0.3, 0.0), 45.0), 5, (64, 5)),
+                 ((0.0, 0.3, -2.2), (0.0, 0.3, 0.0), 45.0), 5,
+                 (64, 5, 1, 0.02)),
     "sphere": ("build_sphere_scene",
-               ((0.0, 1.0, -3.2), (0.0, 0.5, 0.0), 45.0), 5, (64, 5)),
+               ((0.0, 1.0, -3.2), (0.0, 0.5, 0.0), 45.0), 5,
+               (64, 5, 1, 0.02)),
     "cloud": ("build_cloud_scene",
-              ((0.0, 0.7, -3.0), (0.0, 0.9, 0.0), 50.0), 32, (32, 12)),
+              ((0.0, 0.7, -3.0), (0.0, 0.9, 0.0), 50.0), 32,
+              (32, 12, 16, 0.10)),
     "materials": ("build_materials_scene",
-                  ((0.0, 1.6, -2.8), (0.0, 0.9, 2.0), 45.0), 5, (64, 5)),
+                  ((0.0, 1.6, -2.8), (0.0, 0.9, 2.0), 45.0), 5,
+                  (64, 5, 1, 0.02)),
     "mesh": ("build_mesh_scene", ((0.0, 1.6, -2.8), (0.0, 0.9, 2.0), 45.0),
-             5, (64, 5)),
+             5, (64, 5, 1, 0.02)),
 }
 
 
@@ -105,7 +115,8 @@ def transport_probe(scene, which: str = "default"):
     from hikari_tpu.film.filters import make_filter
     from hikari_tpu.integrators.volpath import VolPath, render_lanes
 
-    builder, (eye, at, fov), _depth, (pres, pdepth) = SCENE_DEFS[which]
+    builder, (eye, at, fov), _depth, (pres, pdepth, pspp, _tol) = \
+        SCENE_DEFS[which]
     camera = make_perspective_camera(eye, at, (pres, pres), fov_deg=fov)
     filt = make_filter()
     vp = VolPath(max_depth=pdepth, samples_per_pixel=1)
@@ -118,8 +129,12 @@ def transport_probe(scene, which: str = "default"):
         rgb, wgt, stats = render_lanes(vp, scene, camera, filt, s, px, py)
         return stats["rays_traced"], rgb.mean()
 
-    rays, mean_rgb = probe(jnp.uint32(0))
-    return float(np.asarray(rays)), float(np.asarray(mean_rgb))
+    rays = mean_rgb = 0.0
+    for s in range(pspp):
+        r, m = probe(jnp.uint32(s))
+        rays += float(np.asarray(r))
+        mean_rgb += float(np.asarray(m))
+    return rays / pspp, mean_rgb / pspp
 
 
 def check_transport(scene, which: str = "default"):
@@ -147,15 +162,18 @@ def check_transport(scene, which: str = "default"):
     elif which != "default":
         return f"skip: single-scene transport_ref.json lacks {which}"
     rays, mean_rgb = transport_probe(scene, which)
+    rgb_tol = SCENE_DEFS[which][3][3]
     # rays: edge-margin hit flips move a handful of lanes; the bug class
     # this guards against moves >20%. mean_rgb: fp reassociation across
-    # backends stays ~1e-3 relative; broken transport moves ~10%.
+    # backends stays ~1e-3 relative on surface scenes; broken transport
+    # moves ~10%+. Stochastic-media scenes get a per-scene tolerance
+    # (LCG reseed noise, see SCENE_DEFS).
     dr = abs(rays - ref["rays_traced"]) / max(ref["rays_traced"], 1.0)
     dc = abs(mean_rgb - ref["mean_rgb"]) / max(abs(ref["mean_rgb"]), 1e-6)
-    if dr > 0.005:
+    if dr > max(0.005, rgb_tol / 4):
         return (f"FAIL: rays_traced {rays:.0f} vs ref "
                 f"{ref['rays_traced']:.0f} ({dr * 100:.2f}%)")
-    if dc > 0.02:
+    if dc > rgb_tol:
         return (f"FAIL: mean_rgb {mean_rgb:.7f} vs ref "
                 f"{ref['mean_rgb']:.7f} ({dc * 100:.2f}%)")
     return "pass"
@@ -175,6 +193,8 @@ def run(res_px: int, n_iters: int, which: str | None = None, reps: int = 3):
     if which is None:
         which = os.environ.get("BENCH_SCENE", "default")
     scene, camera, depth = scene_setup(which, res_px)
+    # BENCH_DEPTH: override the registry depth (crash/bisect experiments)
+    depth = int(os.environ.get("BENCH_DEPTH", depth))
     res = (res_px, res_px)
     filt = make_filter()
     vp = VolPath(max_depth=depth, samples_per_pixel=256,

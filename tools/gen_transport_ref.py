@@ -38,11 +38,13 @@ def main():
             refs = old  # partial regeneration keeps other entries
     for which in scenes:
         builder = getattr(bench, bench.SCENE_DEFS[which][0])
-        pres, pdepth = bench.SCENE_DEFS[which][3]
+        pres, pdepth, pspp, rgb_tol = bench.SCENE_DEFS[which][3]
         rays, mean_rgb = bench.transport_probe(builder(), which)
         refs["scenes"][which] = {
             "res": pres,
             "depth": pdepth,
+            "spp": pspp,
+            "rgb_tol": rgb_tol,
             "rays_traced": rays,
             "mean_rgb": mean_rgb,
             "backend": jax.default_backend(),

@@ -133,6 +133,19 @@ def main():
     frac_miss = float((rec.hit & ~rec1.hit).sum() / rec.hit.sum())
     print(f"bounce1 miss fraction (live lanes): {frac_miss:.3f}", flush=True)
 
+    # pre-pass diagnosis: how many of those miss lanes does the super-AABB
+    # segment test actually clear, per SUPER granularity? (phase-B A/B
+    # measured HIKARI_PREPASS=on at -1%: if cleared << missed, the boxes
+    # are too coarse)
+    from hikari_tpu.geometry import wavefront as wf2
+    for sup in (64, 32, 8, 2):
+        wf2.SUPER = sup
+        may = wf2._ray_super_cull(scene.treelets, o1, d1, t1)
+        cleared = (~may) & np.asarray(rec.hit)
+        print(f"prepass SUPER={sup:3d}: cleared "
+              f"{float(cleared.sum() / rec.hit.sum()):.3f} of live bounce1 "
+              f"lanes (miss fraction {frac_miss:.3f})", flush=True)
+
 
 if __name__ == "__main__":
     main()
