@@ -97,6 +97,11 @@ class Treelets:
 
     lo: jnp.ndarray   # (T, 3) treelet AABB min
     hi: jnp.ndarray   # (T, 3)
+    sup_lo: jnp.ndarray  # (S, 3) coarse cull boxes for the per-ray
+    sup_hi: jnp.ndarray  # pre-pass — BVH upper-node cuts when a tree is
+    #                    # available (tight SAH clusters; leaf-order
+    #                    # treelet unions are poisoned by any
+    #                    # room-spanning triangle), else treelet groups
     bw: jnp.ndarray   # (T, 24, 3*TT) bf16 split affine coefficients
     tri: jnp.ndarray  # (T*TT, 10) f32 rows [p0 | e1 | e2 | face] for the
     #                 # exact per-lane hit resolve after the sweep; `face`
@@ -280,8 +285,65 @@ def bvh_cut_ranges(fb, n_prims: int, merge: bool = True):
     return base, cnt
 
 
+def bvh_super_boxes(fb, n_prims: int, n_target: int = 48,
+                    prim_lo=None, prim_hi=None):
+    """Cut the BVH into ~n_target upper-node boxes for the per-ray
+    pre-pass (_ray_super_cull). SAH nodes isolate large flat geometry
+    (walls, floors) into their own tight slabs, so a bounce ray that
+    provably escapes the scene misses every box — whereas unions of
+    leaf-order treelet runs mix a wall triangle into an otherwise-local
+    cluster and the resulting room-hull box catches 100% of rays
+    (measured: cleared fraction 0.000 at every SUPER granularity)."""
+    first = np.asarray(fb.first, np.int64)
+    skip = np.asarray(fb.skip, np.int64)
+    count = np.asarray(fb.count, np.int64)
+    n_nodes = len(first)
+    cap = max(1, -(-n_prims // n_target))
+
+    def sub_end(i):
+        s = skip[i]
+        return n_prims if s >= n_nodes else first[s]
+
+    def area(i):
+        d = np.maximum(fb.hi[i] - fb.lo[i], 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    root_area = max(area(0), 1e-12)
+    lo_l, hi_l = [], []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        c = sub_end(i) - first[i]
+        # descend high-count nodes AND spatially huge ones: SAH packs the
+        # handful of room-spanning wall/floor triangles into one
+        # low-count subtree whose hull box catches every interior ray
+        # (measured: one such box made the pre-pass clear 0.000 of lanes)
+        huge = area(i) > 0.08 * root_area
+        if count[i] > 0:  # leaf (<= leaf_size prims)
+            if huge and prim_lo is not None:
+                # a huge leaf is a handful of room-spanning triangles
+                # (walls/floor) whose union hull catches every interior
+                # ray; their INDIVIDUAL triangle boxes are thin slabs,
+                # so emit those instead (prim arrays are in leaf order,
+                # the leaf covers [first, first+c))
+                for j in range(int(first[i]), int(first[i] + c)):
+                    lo_l.append(prim_lo[j])
+                    hi_l.append(prim_hi[j])
+            else:
+                lo_l.append(fb.lo[i])
+                hi_l.append(fb.hi[i])
+        elif c <= cap and not huge:
+            lo_l.append(fb.lo[i])
+            hi_l.append(fb.hi[i])
+        else:  # high-count or spatially huge: descend
+            stack.append(int(skip[i + 1]))
+            stack.append(i + 1)
+    return (np.asarray(lo_l, np.float32), np.asarray(hi_l, np.float32))
+
+
 def build_treelets(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
-                   ranges=None, split: int | None = None) -> Treelets:
+                   ranges=None, split: int | None = None,
+                   supers=None) -> Treelets:
     """Host: block the BVH-leaf-ordered triangles into treelets and
     precompute the Baldwin-Weber affine coefficients in f64.
 
@@ -364,8 +426,20 @@ def build_treelets(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
         axis=1,
     ).astype(np.float32)
 
+    if supers is None:
+        # fallback: leaf-order treelet groups of SUPER (no BVH at hand);
+        # usable but poisoned by room-spanning triangles — scene.build
+        # passes bvh_super_boxes instead
+        ns = -(-t // SUPER)
+        pad2 = ns * SUPER - t
+        glo = np.concatenate([lo, np.full((pad2, 3), 3.0e37, np.float32)])
+        ghi = np.concatenate([hi, np.full((pad2, 3), -3.0e37, np.float32)])
+        supers = (glo.reshape(ns, SUPER, 3).min(1),
+                  ghi.reshape(ns, SUPER, 3).max(1))
     return Treelets(
         lo=jnp.asarray(lo), hi=jnp.asarray(hi),
+        sup_lo=jnp.asarray(supers[0], jnp.float32),
+        sup_hi=jnp.asarray(supers[1], jnp.float32),
         bw=jnp.asarray(bw, jnp.bfloat16),
         tri=jnp.asarray(tri),
     )
@@ -1101,32 +1175,30 @@ def _ray_super_cull(tl: Treelets, o, d, t_max):
 
     The tile-level cull can never retire individual lanes — a single
     far-flying lane keeps its whole 1024-ray tile sweeping — so this is
-    the only per-LANE cull in the pipeline. Cost: ceil(T/SUPER) fori
-    steps of ~20 VPU ops per lane."""
-    T = tl.lo.shape[0]
-    ns = -(-T // SUPER)
-    pad = ns * SUPER - T
-    lo, hi = tl.lo, tl.hi
-    if pad:
-        lo = jnp.concatenate([lo, jnp.full((pad, 3), 3.0e37, lo.dtype)])
-        hi = jnp.concatenate([hi, jnp.full((pad, 3), -3.0e37, hi.dtype)])
-    slo = lo.reshape(ns, SUPER, 3).min(1)
-    shi = hi.reshape(ns, SUPER, 3).max(1)
+    the only per-LANE cull in the pipeline. Cost: S fori steps of ~20
+    VPU ops per lane (S ~ 48 BVH upper-node boxes)."""
+    slo, shi = tl.sup_lo, tl.sup_hi
+    ns = slo.shape[0]
     # zero components map to +-1e-20, NOT 0: a zero inverse would collapse
     # the parallel-axis slab interval to [0, 0] and reject real hits
     inv = 1.0 / jnp.where(
         jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
-    margin = 1e-3 + 1e-4 * jnp.max(jnp.abs(o), axis=-1)
 
     def body(i, may):
         t0 = (slo[i][None, :] - o) * inv
         t1 = (shi[i][None, :] - o) * inv
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        # tf > 1e-4, NOT > -margin: the sweep kernels themselves only
+        # accept t > 1e-4, so a box whose exit lies closer than that can
+        # never produce an accepted hit — and a bounce ray's 1e-3-offset
+        # origin sits within any absolute margin of the very surface it
+        # just left, which made a (-1e-3)-margin version of this test
+        # keep 100% of lanes (measured: cleared 0.000 at every SUPER).
         ok = (
-            (tn <= tf * 1.0001 + margin)
-            & (tf > -margin)
-            & (tn <= t_max * 1.0001 + margin)
+            (tn <= tf * 1.0001 + 1e-6)
+            & (tf > 1e-4)
+            & (tn <= t_max * 1.0001 + 1e-4)
         )
         return may | ok
 

@@ -17,7 +17,9 @@ import numpy as np
 from ..core.pytree import pytree_dataclass
 from ..geometry.bvh import build_bvh
 from ..geometry.traverse import DeviceBVH
-from ..geometry.wavefront import KSPLIT, Treelets, build_treelets
+from ..geometry.wavefront import (
+    KSPLIT, Treelets, build_treelets, bvh_super_boxes,
+)
 from ..lights.types import LightBanks, pack_lights
 from ..materials.types import EMISSIVE, MaterialBanks, pack_materials
 from ..media.types import MediumBanks, pack_media
@@ -446,7 +448,11 @@ class Scene:
             alpha_const=jnp.asarray(alpha_const[order]),
             alpha_tex=jnp.asarray(alpha_tex[order]),
             treelets=build_treelets(p0[order], p1[order], p2[order],
-                                    ranges=_treelet_ranges(fb, len(p0))),
+                                    ranges=_treelet_ranges(fb, len(p0)),
+                                    supers=bvh_super_boxes(
+                                        fb, len(p0),
+                                        prim_lo=tri_lo[order],
+                                        prim_hi=tri_hi[order])),
             inst=_dummy_instanced(),
             inst_nrm=jnp.eye(3, dtype=jnp.float32)[None],
             inst_l2w=jnp.eye(4, dtype=jnp.float32)[:3][None],
@@ -741,6 +747,8 @@ def _build_instanced_scene(self, traversal: str) -> SceneData:
         alpha_tex=jnp.asarray(alpha_tex),
         treelets=Treelets(
             lo=jnp.full((1, 3), 3.0e37), hi=jnp.full((1, 3), 3.0e37),
+            sup_lo=jnp.full((1, 3), 3.0e37),
+            sup_hi=jnp.full((1, 3), -3.0e37),
             bw=jnp.zeros((1, KSPLIT, 3 * TREELET), jnp.bfloat16),
             tri=jnp.zeros((TREELET, 10), jnp.float32),
         ),
