@@ -569,6 +569,7 @@ def main():
                 "treelet": _wf.TREELET,
                 "ray_tile": _wf.RAY_TILE,
                 "key_obits": _wf.KEY_OBITS,
+                "prepass": _wf.PREPASS,
                 "band_frac": _wf.BAND_FRAC,
                 "samp_batch": int(os.environ.get("BENCH_SAMP_BATCH", "4")),
                 "coherence": os.environ.get("BENCH_COHERENCE", "none"),

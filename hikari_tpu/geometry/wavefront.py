@@ -138,15 +138,19 @@ SWEEP_MODE = _os.environ.get("HIKARI_SWEEP", "tile")
 # anyway); 'div' = the plain f32 divide.
 RECIP = _os.environ.get("HIKARI_RECIP", "newton")
 # per-ray super-AABB pre-pass: before the sort, test each ray's segment
-# against coarse groups of HIKARI_SUPER consecutive treelets; lanes whose
-# segment intersects NO super box are guaranteed misses (closest) /
+# against the scene's coarse cull boxes (BVH upper-node cuts with
+# per-triangle boxes for room-spanning leaves — see bvh_super_boxes);
+# lanes whose segment intersects NO box are guaranteed misses (closest) /
 # unoccluded (any-hit) and get t_max=0, so they sort to the dead suffix,
 # shrink the compaction prefix, AND stop inflating the per-tile
 # front-to-back threshold (sim_sweep measured the early-out never firing
 # on bounce sweeps because miss lanes pin the threshold at world-exit
-# scale). ~T/SUPER fori iterations of ~20 VPU ops per lane — orders of
-# magnitude under one pair sweep.
-PREPASS = _os.environ.get("HIKARI_PREPASS", "off") == "on"
+# scale). ~48 fori iterations of ~20 VPU ops per lane — orders of
+# magnitude under one pair sweep. Default on: the round-5 same-session
+# A/B measured +30% on the 327k-tri mesh bench (1.444 -> 1.876 Mray/s,
+# 33% of live bounce-1 lanes retired) and +0.6% on the default scene,
+# transport tripwires passing on both.
+PREPASS = _os.environ.get("HIKARI_PREPASS", "on") != "off"
 SUPER = int(_os.environ.get("HIKARI_SUPER", "32"))
 # bf16 split width for the BW matmuls: 3 = 3-way error split (K=24
 # contraction rows, reproduces f32), 2 = 2-way (K=16: all four partial
