@@ -527,11 +527,23 @@ def main():
             try:
                 builder = globals()[SCENE_DEFS[sc][0]]
                 tr_sc = check_transport(builder(), sc)
-                # cloud: depth-32 wavefronts >= 640k lanes crash the TPU
-                # worker (round-5 bisect, PERF.md); record at 256^2 until
-                # the fault is isolated
-                res_sc = 256 if sc == "cloud" else res
-                m_sc, sp_sc, spp_sc = run(res_sc, 2, which=sc, reps=1)
+                # cloud: per-dispatch wall-time above ~60 s kills the
+                # remote worker (round-5 bisect: 37 s/step runs, 78
+                # s/step dies, scene/lane-count/depth independent once
+                # step time is controlled for — PERF.md). 400^2 at K=2
+                # keeps the depth-32 step at ~37 s.
+                res_sc, k_sc = (400, "2") if sc == "cloud" else (res, None)
+                prev_k = os.environ.get("BENCH_SAMP_BATCH")
+                if k_sc is not None:
+                    os.environ["BENCH_SAMP_BATCH"] = k_sc
+                try:
+                    m_sc, sp_sc, spp_sc = run(res_sc, 2, which=sc, reps=1)
+                finally:
+                    if k_sc is not None:
+                        if prev_k is None:
+                            del os.environ["BENCH_SAMP_BATCH"]
+                        else:
+                            os.environ["BENCH_SAMP_BATCH"] = prev_k
                 secondary[sc] = {
                     "Mray/s": round(m_sc, 3),
                     "wallclock_256spp_s": round(256.0 * spp_sc, 1),
