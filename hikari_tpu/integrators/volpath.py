@@ -1084,11 +1084,22 @@ def render_lanes(
     sample_idx: jnp.ndarray,
     px: jnp.ndarray,
     py: jnp.ndarray,
+    depth_lo=None,
+    depth_hi=None,
+    carry_in=None,
+    return_carry: bool = False,
 ):
     """Trace one path for each lane (px, py). The lane set is arbitrary —
     the whole frame on one chip, or a shard of rows under pjit/shard_map.
 
-    Returns (rgb (n, 3), filter_weight (n,), stats dict)."""
+    Returns (rgb (n, 3), filter_weight (n,), stats dict).
+
+    depth_lo/depth_hi/carry_in/return_carry split the bounce loop across
+    MULTIPLE dispatches (render_lanes_segmented): the remote TPU worker
+    kills any single dispatch running past ~60 s (PERF.md round-5
+    bisect), which a depth-32 volumetric frame at full resolution
+    exceeds. The bounds are traced scalars, so one compiled segment
+    function serves every segment. Plain (non-resident) mode only."""
     w, h = camera.resolution
     n = px.shape[0]
     si = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32), (n,))
@@ -1424,15 +1435,23 @@ def render_lanes(
                    disp=disp_term)
         return out, rays_traced
 
+    segmented = (depth_lo is not None or depth_hi is not None
+                 or carry_in is not None or return_carry)
     if not use_resident:
         def body(i, carry):
             return bounce_core(i, carry[0], carry[1])
 
-        st, rays_traced = jax.lax.fori_loop(
-            0, vp.max_depth, body, (st0, rays_traced))
+        if carry_in is not None:
+            st0, rays_traced = carry_in
+        lo = 0 if depth_lo is None else depth_lo
+        hi = vp.max_depth if depth_hi is None else depth_hi
+        st, rays_traced = jax.lax.fori_loop(lo, hi, body, (st0, rays_traced))
+        if return_carry:
+            return st, rays_traced
         L = st["L"]
         disp_term = st["disp"]
     else:
+        assert not segmented, "depth segmentation requires resident='off'"
         st, rays_traced, L, disp_term = _resident_bounce_loop(
             vp, scene, st0, rays_traced, bounce_core, n)
 
@@ -1458,6 +1477,44 @@ def render_lanes(
         "rays_traced": rays_traced,
         "nonfinite_lanes": jnp.sum(bad.astype(jnp.float32)),
     }
+
+
+@partial(jax.jit, static_argnames=("vp", "return_carry"),
+         donate_argnames=("carry_in",))
+def _render_lanes_seg_jit(vp, scene, camera, filt, sample_idx, px, py,
+                          depth_lo, depth_hi, carry_in, return_carry):
+    return render_lanes(vp, scene, camera, filt, sample_idx, px, py,
+                        depth_lo=depth_lo, depth_hi=depth_hi,
+                        carry_in=carry_in, return_carry=return_carry)
+
+
+def render_lanes_segmented(
+    vp: VolPath, scene: SceneData, camera: PerspectiveCamera,
+    filt: FilterSampler, sample_idx, px, py, n_segments: int,
+):
+    """render_lanes split into n_segments dispatches over the depth axis.
+
+    Each dispatch runs ceil(max_depth / n_segments) bounces and hands the
+    packed path state to the next; the final dispatch finalizes to RGB.
+    Use when one full-depth dispatch would exceed the remote worker's
+    ~60 s wall-time kill (deep volumetric frames at full resolution —
+    PERF.md round-5 bisect). Bit-identical to render_lanes: the segments
+    re-enter the same fori body at the carried depth."""
+    assert vp.resident != "on", "depth segmentation requires resident off"
+    seg = max(1, -(-vp.max_depth // max(n_segments, 1)))
+    carry = None
+    d0 = 0
+    while d0 + seg < vp.max_depth:
+        carry = _render_lanes_seg_jit(
+            vp, scene, camera, filt, sample_idx, px, py,
+            jnp.int32(d0), jnp.int32(d0 + seg), carry, True)
+        # sync so each dispatch's wall-time is its own (the watchdog
+        # meters the dispatch, not the Python call)
+        jax.block_until_ready(carry[1])
+        d0 += seg
+    return _render_lanes_seg_jit(
+        vp, scene, camera, filt, sample_idx, px, py,
+        jnp.int32(d0), jnp.int32(vp.max_depth), carry, False)
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
